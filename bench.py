@@ -1,0 +1,97 @@
+"""Headline benchmark: matrix-free 5-point Poisson SpMV throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: effective sparse nonzeros processed per second by the stencil
+operator apply (the reference's nnz accounting, ``linear_system.hpp:53-55``:
+``nnz = N + 4 * interior``).  Baseline = 80% of the HBM roofline for the
+op's streamed bytes (read u + write y, 8 B/point in f32), the target set in
+BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Per-chip HBM bandwidth (bytes/s) by platform; v5e (lite) = 819 GB/s.
+HBM_BW = {
+    "tpu v5 lite": 819e9,
+    "tpu v5e": 819e9,
+    "tpu v5": 819e9,
+    "tpu v4": 1228e9,
+    "tpu v6 lite": 1640e9,
+    "cpu": 50e9,
+}
+
+
+def device_bandwidth() -> float:
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "cpu").lower()
+    for key, bw in HBM_BW.items():
+        if key in kind:
+            return bw
+    return HBM_BW["tpu v5e"] if d.platform != "cpu" else HBM_BW["cpu"]
+
+
+def main() -> None:
+    from multigrid_prj_tpu.ops.stencil import poisson_apply
+
+    n = int(os.environ.get("BENCH_N", "8192")) + 1  # 8193 x 8193 f32
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
+    alpha, h = 10.0, 10.0 / (n - 1)
+
+    def chain(k):
+        @jax.jit
+        def f(u):
+            return jax.lax.fori_loop(
+                0, k, lambda _, v: poisson_apply(v, alpha, h), u
+            )
+        return f
+
+    few, many = chain(10), chain(10 + iters)
+    u = jnp.full((n, n), 0.5, dtype=jnp.float32)
+
+    def run(f):
+        # Fetch a scalar to guarantee completion (block_until_ready alone is
+        # not a reliable fence through the remote-dispatch tunnel).
+        r = f(u)
+        _ = float(r[0, 0])
+
+    run(few), run(many)  # compile + warm
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(few)
+        t1 = time.perf_counter()
+        run(many)
+        t2 = time.perf_counter()
+        best = min(best, (t2 - t1) - (t1 - t0))  # overhead-corrected
+    dt = best
+
+    interior = (n - 2) ** 2
+    nnz = n * n + 4 * interior  # reference nnz accounting
+    value = nnz * iters / dt
+
+    bytes_per_point = 8.0  # f32 read + write per node per apply
+    roofline_nnz_s = device_bandwidth() / bytes_per_point * (nnz / (n * n))
+    baseline = 0.8 * roofline_nnz_s
+
+    print(
+        json.dumps(
+            {
+                "metric": "stencil_spmv_nnz_per_s",
+                "value": value,
+                "unit": "nnz/s",
+                "vs_baseline": value / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,301 @@
+"""Geometric multigrid cycles and the outer solver driver.
+
+Capability parity with the reference's cycle/driver layer:
+
+* ``sawtooth_cycle`` reproduces ``SawtoothMGIteration``
+  (``GeometricMultigrid/include/multigrid.hpp:89-157``): one residual
+  evaluation on the finest grid, a stationary coarse solve of the error
+  equation (rel. tol 1e-1, maxit 2000, ``multigrid.hpp:123``), then per level
+  up: prolongate the error and apply ``nu = 5`` smoother sweeps on
+  ``A_level err = res`` (``multigrid.hpp:105,134-139``), finally
+  ``sol += err`` (``:141-144``).  Restriction is injection, exactly like the
+  reference's shared masked residual vector (``multigrid.hpp:112-114``).
+* ``stationary_solve`` reproduces ``Solver`` (``solvers.hpp:310-353``):
+  smoother sweeps until the relative residual drops below ``tol`` or
+  ``maxit`` is exhausted, with a convergence flag.
+* ``GMGSolver.solve`` reproduces the outer driver loop
+  (``src/main.cpp:77-116``): 2 pre-smoothing sweeps on the fine system, one
+  cycle, residual-history append, stop at ``TOL = 1e-11``
+  (``solvers.hpp:5``) or 1000 iterations.
+
+Beyond parity the module adds the standard correction-scheme ``v_cycle`` /
+``w_cycle`` / ``fmg`` with full-weighting restriction — the cycles
+``BASELINE.json`` config 2 asks for.
+
+TPU-native design: a cycle is a pure function over per-level dense arrays;
+the level loop is unrolled at trace time (level count is static), the coarse
+solve is a ``lax.while_loop``, and the outer iteration is a single
+``lax.while_loop`` with a fixed-size history buffer — the whole solve is ONE
+XLA computation with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from multigrid_prj_tpu.grids import GridLevel, build_hierarchy
+from multigrid_prj_tpu.ops.residual import norm2, rel_residual_norm
+from multigrid_prj_tpu.ops.smoothers import make_smoother
+from multigrid_prj_tpu.ops.stencil import poisson_residual
+from multigrid_prj_tpu.ops.transfer import (
+    prolong,
+    restrict_full_weighting,
+    restrict_inject,
+)
+
+Smoother = Callable[..., jax.Array]  # (u, b, alpha, h, sweeps) -> u
+
+
+def stationary_solve(
+    e0: jax.Array,
+    b: jax.Array,
+    alpha: float,
+    h: float,
+    smoother: Smoother,
+    tol: float,
+    maxit: int,
+    sweeps_per_check: int = 1,
+):
+    """Iterate ``smoother`` on ``A e = b`` until ``||b - A e|| <= tol ||b||``.
+
+    Returns ``(e, iterations, rel_norm)``.  Mirrors ``Solver``
+    (``solvers.hpp:324-342``; ``m_step`` = ``sweeps_per_check``).
+    """
+    b2 = norm2(b)
+    tol2 = (tol * tol) * b2
+
+    def cond(state):
+        _, k, rn2 = state
+        return (k < maxit) & (rn2 > tol2)
+
+    def body(state):
+        e, k, _ = state
+        e = smoother(e, b, alpha, h, sweeps_per_check)
+        rn2 = norm2(poisson_residual(e, b, alpha, h))
+        return e, k + 1, rn2
+
+    e, k, rn2 = lax.while_loop(cond, body, (e0, jnp.int32(0), b2))
+    rel = jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
+    return e, k, rel
+
+
+def sawtooth_cycle(
+    u: jax.Array,
+    b: jax.Array,
+    levels: Sequence[GridLevel],
+    alpha: float,
+    smoother: Smoother,
+    nu: int = 5,
+    coarse_tol: float = 1e-1,
+    coarse_maxit: int = 2000,
+    restrict=restrict_full_weighting,
+) -> jax.Array:
+    """One sawtooth multigrid cycle on the error equation (reference parity).
+
+    Restriction note: the reference restricts the residual by *injection*
+    (every level reads the shared fine-residual vector through its index
+    mask).  With its sequential lexicographic GS that converges at
+    rho ~ 0.08/iteration (measured by running the reference binary at
+    ``-n 65 -ml 4 -test 0``: 11 iterations, ratios 0.087, 0.083, 0.081...).
+    With the TPU-parallel red-black smoother, injection aliases the
+    oscillatory residual onto the coarse grids and stalls at rho ~ 0.86, so
+    the default here is full weighting — which reproduces the reference's
+    convergence behavior almost exactly (ratios 0.080-0.083, 11-12
+    iterations to 1e-11).  Pass ``restrict=restrict_inject`` for the strict
+    structural-compat mode (SURVEY.md §7.4.7).
+    """
+    r = poisson_residual(u, b, alpha, levels[0].h)
+    rs = [r]
+    for lev in levels[1:]:
+        rc = restrict(rs[-1])
+        assert rc.shape == lev.shape, (rc.shape, lev.shape)
+        rs.append(rc)
+    e = jnp.zeros_like(rs[-1])
+    e, _, _ = stationary_solve(
+        e, rs[-1], alpha, levels[-1].h, smoother, coarse_tol, coarse_maxit
+    )
+    for j in range(len(levels) - 2, -1, -1):
+        e = prolong(e, levels[j].shape)
+        e = smoother(e, rs[j], alpha, levels[j].h, nu)
+    return u + e
+
+
+def v_cycle(
+    u: jax.Array,
+    b: jax.Array,
+    levels: Sequence[GridLevel],
+    alpha: float,
+    smoother: Smoother,
+    nu1: int = 2,
+    nu2: int = 2,
+    coarse_sweeps: int = 100,
+    restrict=restrict_full_weighting,
+    gamma: int = 1,
+    _level: int = 0,
+) -> jax.Array:
+    """Standard correction-scheme V-cycle (``gamma = 2`` gives the W-cycle)."""
+    h = levels[_level].h
+    if _level == len(levels) - 1:
+        return smoother(u, b, alpha, h, coarse_sweeps)
+    u = smoother(u, b, alpha, h, nu1)
+    r = poisson_residual(u, b, alpha, h)
+    rc = restrict(r)
+    ec = jnp.zeros_like(rc)
+    for _ in range(gamma):
+        ec = v_cycle(
+            ec, rc, levels, alpha, smoother,
+            nu1=nu1, nu2=nu2, coarse_sweeps=coarse_sweeps,
+            restrict=restrict, gamma=gamma, _level=_level + 1,
+        )
+    u = u + prolong(ec, levels[_level].shape)
+    u = smoother(u, b, alpha, h, nu2)
+    return u
+
+
+def w_cycle(u, b, levels, alpha, smoother, **kw):
+    kw.setdefault("gamma", 2)
+    return v_cycle(u, b, levels, alpha, smoother, **kw)
+
+
+def fmg(
+    b: jax.Array,
+    levels: Sequence[GridLevel],
+    alpha: float,
+    smoother: Smoother,
+    n_vcycles: int = 1,
+    restrict=restrict_full_weighting,
+    **vkw,
+) -> jax.Array:
+    """Full multigrid: coarsest-first nested iteration, then V-cycles per level."""
+    bs = [b]
+    for _ in levels[1:]:
+        bs.append(restrict(bs[-1]))
+    u = jnp.zeros_like(bs[-1])
+    for j in range(len(levels) - 1, -1, -1):
+        if j < len(levels) - 1:
+            u = prolong(u, levels[j].shape)
+        for _ in range(n_vcycles):
+            u = v_cycle(u, bs[j], levels[j:], alpha, smoother, restrict=restrict, **vkw)
+    return u
+
+
+@dataclasses.dataclass
+class SolveResult:
+    """Outcome of an outer multigrid solve.
+
+    ``converged`` mirrors the reference's ``Solver::flag``
+    (``solvers.hpp:335-338``); ``history`` is the per-iteration relative
+    residual norm the reference writes to ``MGGS4.txt``
+    (``src/main.cpp:74,87,127``).
+    """
+
+    u: jax.Array
+    history: jax.Array  # shape (iterations + 1,)
+    iterations: int
+    converged: bool
+
+    @property
+    def convergence_factor(self) -> float:
+        """Geometric-mean residual reduction per outer iteration."""
+        h = self.history
+        if len(h) < 2 or float(h[0]) == 0.0:
+            return 0.0
+        return float((h[-1] / h[0]) ** (1.0 / (len(h) - 1)))
+
+
+class GMGSolver:
+    """Geometric multigrid solver for the Dirichlet Poisson problem.
+
+    Parameters mirror the reference CLI (``utilities.hpp:16-21``): grid
+    ``shape`` (``-n``), diffusion ``alpha`` (``-a``), domain ``length``
+    (``-w``), ``num_levels`` (``-ml``), ``smoother`` (``-smt``).
+    """
+
+    def __init__(
+        self,
+        shape: Sequence[int],
+        length: float = 10.0,
+        alpha: float = 10.0,
+        num_levels: int = 2,
+        smoother: str = "gs",
+        cycle: str = "sawtooth",
+        nu: int = 5,
+        pre_sweeps: int = 2,
+        omega: float = 1.0,
+        tol: float = 1e-11,
+        maxit: int = 1000,
+        coarse_tol: float = 1e-1,
+        coarse_maxit: int = 2000,
+    ):
+        self.levels = build_hierarchy(shape, length, num_levels)
+        self.alpha = float(alpha)
+        self.length = float(length)
+        self.tol = float(tol)
+        self.maxit = int(maxit)
+        self.nu = int(nu)
+        self.pre_sweeps = int(pre_sweeps)
+        self.cycle = cycle
+        self.coarse_tol = float(coarse_tol)
+        self.coarse_maxit = int(coarse_maxit)
+        self.smoother = make_smoother(smoother, omega=omega)
+        self._jit_solve = jax.jit(self._solve_impl)
+
+    def _cycle(self, u, b):
+        if self.cycle == "sawtooth":
+            return sawtooth_cycle(
+                u, b, self.levels, self.alpha, self.smoother,
+                nu=self.nu, coarse_tol=self.coarse_tol,
+                coarse_maxit=self.coarse_maxit,
+            )
+        if self.cycle == "v":
+            return v_cycle(u, b, self.levels, self.alpha, self.smoother,
+                           nu1=self.pre_sweeps, nu2=self.nu)
+        if self.cycle == "w":
+            return w_cycle(u, b, self.levels, self.alpha, self.smoother,
+                           nu1=self.pre_sweeps, nu2=self.nu)
+        raise ValueError(f"unknown cycle {self.cycle!r}")
+
+    def step(self, u, b):
+        """One outer iteration: pre-smooths + one cycle (``main.cpp:85``)."""
+        if self.cycle == "sawtooth":
+            u = self.smoother(u, b, self.alpha, self.levels[0].h, self.pre_sweeps)
+        return self._cycle(u, b)
+
+    def _solve_impl(self, u, b):
+        h0 = self.levels[0].h
+        dtype = b.dtype
+        hist = jnp.full((self.maxit + 1,), jnp.nan, dtype=dtype)
+        hist = hist.at[0].set(rel_residual_norm(u, b, self.alpha, h0))
+
+        def cond(state):
+            _, k, hist = state
+            return (k < self.maxit) & (hist[k] > self.tol)
+
+        def body(state):
+            u, k, hist = state
+            u = self.step(u, b)
+            rn = rel_residual_norm(u, b, self.alpha, h0)
+            hist = hist.at[k + 1].set(rn)
+            return u, k + 1, hist
+
+        u, k, hist = lax.while_loop(cond, body, (u, jnp.int32(0), hist))
+        return u, k, hist
+
+    def solve(self, b: jax.Array, u0: jax.Array | None = None) -> SolveResult:
+        if u0 is None:
+            u0 = jnp.zeros_like(b)
+        u, k, hist = self._jit_solve(u0, b)
+        k = int(k)
+        hist_np = hist[: k + 1]
+        return SolveResult(
+            u=u,
+            history=hist_np,
+            iterations=k,
+            converged=bool(hist_np[-1] <= self.tol),
+        )

@@ -1,0 +1,98 @@
+"""Structured-grid descriptors and the geometric multigrid hierarchy.
+
+Capability parity with the reference's ``SquareDomain``
+(``GeometricMultigrid/include/domain.hpp:44-96``, ``src/domain.cpp``): an
+``n^d`` node grid on ``[0, L]^d`` where a level-``l`` grid is the stride-``2^l``
+subset of the finest grid's index space (``domain.cpp:9-12`` halves the width
+per level, ``domain.hpp:78-80`` maps coarse index -> fine index).
+
+TPU-native design: a level is *metadata only* (shape + spacing) — solution /
+rhs / residual vectors live as dense ``(n, n)`` (2D) or ``(n, n, n)`` (3D)
+arrays per level, so every stencil op is a fused XLA/Pallas array pass instead
+of the reference's per-row index arithmetic.  The reference's ``mask`` trick
+(coarse index -> fine index, ``domain.hpp:78-80``) becomes ``[::2]`` striding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GridLevel:
+    """One level of a structured-grid hierarchy.
+
+    Attributes:
+      shape: node counts per axis, e.g. ``(n, n)`` for 2D, ``(n, n, n)`` for 3D.
+      h: grid spacing at this level.  Matches the reference's
+        ``SquareDomain::h() = m_h * step`` (``domain.hpp:90``): the finest
+        spacing times ``2^level`` — independent of rounding in the coarse
+        node count.
+      level: 0 = finest.
+    """
+
+    shape: Tuple[int, ...]
+    h: float
+    level: int
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def num_nodes(self) -> int:
+        n = 1
+        for s in self.shape:
+            n *= s
+        return n
+
+
+def coarsen_shape(shape: Sequence[int]) -> Tuple[int, ...]:
+    """Stride-2 coarse node count per axis: ``(n + 1) // 2``.
+
+    Mirrors the reference's ``width = (width + 1) / 2`` per level
+    (``domain.cpp:10-12``).  For odd ``n`` the coarse grid contains both
+    endpoints of the fine grid; hierarchies built from ``n = k * 2^L + 1``
+    stay odd at every level.
+    """
+    return tuple((int(s) + 1) // 2 for s in shape)
+
+
+def build_hierarchy(
+    shape: Sequence[int],
+    length: float,
+    num_levels: int,
+    min_size: int = 3,
+) -> list[GridLevel]:
+    """Build the level metadata list, finest first.
+
+    Mirrors ``main.cpp:32-35`` (one ``SquareDomain`` per level).  Raises if a
+    requested level would drop below ``min_size`` nodes per axis.
+    """
+    shape = tuple(int(s) for s in shape)
+    if any(s < 2 for s in shape):
+        raise ValueError(f"grid shape must be >= 2 per axis, got {shape}")
+    if num_levels < 1:
+        raise ValueError("num_levels must be >= 1")
+    h0 = float(length) / (shape[0] - 1)
+    levels = [GridLevel(shape=shape, h=h0, level=0)]
+    for l in range(1, num_levels):
+        cshape = coarsen_shape(levels[-1].shape)
+        if min(cshape) < min_size:
+            raise ValueError(
+                f"level {l} would have shape {cshape}; grid {shape} supports "
+                f"fewer than {num_levels} levels (min coarse size {min_size})"
+            )
+        levels.append(GridLevel(shape=cshape, h=h0 * (2**l), level=l))
+    return levels
+
+
+def max_levels(shape: Sequence[int], min_size: int = 3) -> int:
+    """Largest usable hierarchy depth for ``shape``."""
+    n = 1
+    cur = tuple(int(s) for s in shape)
+    while min(coarsen_shape(cur)) >= min_size:
+        cur = coarsen_shape(cur)
+        n += 1
+    return n

@@ -1,0 +1,88 @@
+"""End-to-end GMG convergence tests pinned to the reference's behavior:
+relative residual 1 -> ~1e-12 in <= ~13 outer iterations with per-iteration
+reduction factor rho ~ 0.1 (``GeometricMultigrid/test/MGGS4.txt``,
+SURVEY.md §6)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multigrid_prj_tpu.gmg import GMGSolver
+from multigrid_prj_tpu.models.poisson import assemble_rhs
+from tests.test_stencil import dense_poisson_2d
+
+REF_X_MTX = "/root/reference/GeometricMultigrid/test/x.mtx"
+
+
+def make_problem(n=65, levels=4, alpha=10.0, width=10.0, test=1, **kw):
+    solver = GMGSolver(
+        shape=(n, n), length=width, alpha=alpha, num_levels=levels, **kw
+    )
+    b = assemble_rhs(solver.levels[0], width, test=test, dtype=jnp.float64)
+    return solver, b
+
+
+@pytest.mark.parametrize("test", [0, 1, 2])
+def test_sawtooth_converges_like_reference(test):
+    solver, b = make_problem(test=test)
+    out = solver.solve(b)
+    assert out.converged
+    assert out.iterations <= 15, f"took {out.iterations} iterations"
+    # asymptotic reduction factor from the interior of the history
+    h = np.asarray(out.history)
+    rho = (h[-1] / h[1]) ** (1.0 / (len(h) - 2))
+    assert rho <= 0.25, f"rho = {rho}"
+
+
+def test_solution_matches_dense_solve():
+    solver, b = make_problem(n=33, levels=3)
+    out = solver.solve(b)
+    A = dense_poisson_2d(33, 10.0, solver.levels[0].h)
+    want = np.linalg.solve(A, np.asarray(b).reshape(-1))
+    got = np.asarray(out.u).reshape(-1)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-9, rel
+
+
+@pytest.mark.parametrize("cycle,smoother", [
+    ("v", "gs"), ("w", "gs"), ("v", "jacobi"),
+])
+def test_standard_cycles_converge(cycle, smoother):
+    kw = {"omega": 0.8} if smoother == "jacobi" else {}
+    solver, b = make_problem(cycle=cycle, smoother=smoother, nu=2, **kw)
+    out = solver.solve(b)
+    assert out.converged
+    assert out.iterations <= 25
+
+
+def test_jacobi_sawtooth_converges():
+    solver, b = make_problem(smoother="jacobi", omega=0.8)
+    out = solver.solve(b)
+    assert out.converged
+
+
+def test_history_starts_at_one():
+    """u0 = 0 => first history entry ||b||/||b|| = 1 (reference MGGS4.txt:2)."""
+    solver, b = make_problem()
+    out = solver.solve(b)
+    np.testing.assert_allclose(float(out.history[0]), 1.0, rtol=1e-12)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(REF_X_MTX), reason="reference artifact absent")
+def test_matches_reference_solution_artifact():
+    """Converge the N=385 test-1 system and compare to the solution vector the
+    reference checked in (``GeometricMultigrid/test/x.mtx``).  Both solve the
+    same discrete system to 1e-11, so they agree to the artifact's precision."""
+    from multigrid_prj_tpu.utils.io import load_vector
+
+    ref = load_vector(REF_X_MTX)
+    assert ref.size == 385 * 385
+    solver, b = make_problem(n=385, levels=4)
+    out = solver.solve(b)
+    assert out.converged
+    got = np.asarray(out.u).reshape(-1)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-5
