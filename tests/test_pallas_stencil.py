@@ -1,0 +1,82 @@
+"""Pallas stencil kernels vs the XLA reference path, run in interpreter mode
+so the suite needs no TPU.  (The same comparison runs compiled on real
+hardware via tools/tpu_check.py.)"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from multigrid_prj_tpu.ops import pallas_stencil as ps
+from multigrid_prj_tpu.ops import smoothers as sm
+from multigrid_prj_tpu.ops import stencil as xs
+
+N = 128  # aligned: divisible by block rows (64) and lanes (128)
+ALPHA, H = 10.0, 10.0 / (N - 1)
+
+
+@pytest.fixture(scope="module")
+def ub():
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((N, N)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((N, N)), jnp.float32)
+    return u, b
+
+
+def test_supported_predicate():
+    assert ps._is_supported((128, 128), jnp.float32)
+    assert ps._is_supported((8192, 8192), jnp.float32)
+    assert not ps._is_supported((65, 65), jnp.float32)  # falls back to XLA
+    assert not ps._is_supported((128, 127), jnp.float32)
+    assert not ps._is_supported((128,), jnp.float32)
+
+
+def _assert_close_normalized(got, want, tol=1e-6):
+    # f32 association-order differences scale with the operand magnitude
+    # (c = alpha/h^2 ~ 1.6e3 here); compare relative to the field's scale.
+    got, want = np.asarray(got), np.asarray(want)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= tol * scale, (
+        np.abs(got - want).max(), scale
+    )
+
+
+def test_apply_matches_xla(ub):
+    u, _ = ub
+    with pltpu.force_tpu_interpret_mode():
+        got = ps.poisson_apply(u, ALPHA, H)
+    _assert_close_normalized(got, xs.poisson_apply(u, ALPHA, H))
+
+
+def test_residual_matches_xla(ub):
+    u, b = ub
+    with pltpu.force_tpu_interpret_mode():
+        got = ps.poisson_residual(u, b, ALPHA, H)
+    _assert_close_normalized(got, xs.poisson_residual(u, b, ALPHA, H))
+
+
+def test_rbgs_matches_xla(ub):
+    u, b = ub
+    with pltpu.force_tpu_interpret_mode():
+        got = ps.red_black_gauss_seidel(u, b, ALPHA, H, sweeps=2)
+    want = sm.red_black_gauss_seidel(u, b, ALPHA, H, sweeps=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-5)
+
+
+def test_jacobi_matches_xla(ub):
+    u, b = ub
+    with pltpu.force_tpu_interpret_mode():
+        got = ps.jacobi(u, b, ALPHA, H, omega=0.8, sweeps=2)
+    want = sm.jacobi(u, b, ALPHA, H, omega=0.8, sweeps=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-5)
+
+
+def test_unsupported_shape_falls_back(ub):
+    # odd grid -> silently uses the XLA path, still correct
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((65, 65)), jnp.float32)
+    got = ps.poisson_apply(u, ALPHA, H)
+    want = xs.poisson_apply(u, ALPHA, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
