@@ -1,0 +1,439 @@
+"""Classical algebraic multigrid: setup (strength, coarsening, interpolation,
+Galerkin RAP) on the host, solve cycles on device.
+
+Capability parity with the reference's AMG sub-project (``AMG/``):
+
+* **Strength of connection** (``AMG/include/AMG.hpp:105-147``): ``j`` is
+  strong for ``i`` iff ``|a_ij| >= theta * max_{k != i} |a_ik|``,
+  ``theta = EPSILON = 0.2`` (``AMG.hpp:21``) -> :func:`strength_mask`,
+  vectorised over the whole CSR at once.
+* **C/F coarsening** (``AMG.hpp:150-198``): the reference runs a greedy
+  sequential loop from a *random* seed node (``getRandomInit``,
+  ``AMG/src/Utilities.cpp:30-40``).  :func:`coarsen_greedy` reproduces that
+  algorithm deterministically (seeded); :func:`coarsen_pmis` is the
+  TPU-idiomatic replacement — PMIS independent-set selection with hashed
+  deterministic weights, the standard parallel coarsening.
+* **Direct interpolation** (``AMG.hpp:230-300``): coarse row -> 1 at its
+  coarse column; fine row ``i`` -> weights
+  ``alpha * a_ik / sum_k(alpha * a_ik)`` over strong coarse neighbors with
+  ``alpha = sum_{j != i} a_ij / sum_sc a_ik`` — which algebraically reduces
+  to ``w_k = a_ik / sum_sc a_ik`` (row sums to 1).  :func:`build_prolongation`
+  implements exactly that.  Deviation recorded: a fine node with no strong
+  coarse neighbor divides by zero in the reference; here it is promoted to
+  coarse instead.
+* **Galerkin product** ``Ac = P^T A P`` (``AMG.hpp:303-369``) via the
+  vectorised host SpGEMM in ``ops/sparse.py`` (the reference's hottest setup
+  loop, SURVEY.md §3.4).
+* **Solve** (``AMG/src/AMG.cpp:277-308``): the reference runs one sawtooth
+  pass that restricts the *solution* (``x_{l+1} = P^T x_l``), smooths
+  10/200/10 Gauss-Seidel sweeps, and corrects ``x_l += P x_{l+1}`` —
+  reproduced in :meth:`AMGSolver.reference_sawtooth_pass` (compat mode).
+  The default :meth:`AMGSolver.solve` is the standard residual-correction
+  V-cycle (pre/post smoothing, ``P^T r`` restriction), which converges
+  strictly faster and is what SURVEY.md §7.4.7 prescribes.
+
+TPU-native design: setup runs once on the host (NumPy, mirroring the
+reference's setup/solve split); every level's operator is shipped to device
+as a padded ELL matrix, the lexicographic Gauss-Seidel becomes *multicolor*
+Gauss-Seidel (greedy host coloring, one fused masked update per color), and
+the whole V-cycle is a single jitted computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multigrid_prj_tpu.ops.sparse import ELLMatrix, HostCSR, rap
+
+THETA_DEFAULT = 0.2  # AMG/include/AMG.hpp:21 (EPSILON)
+
+
+# ---------------------------------------------------------------------------
+# Setup phase (host, NumPy)
+# ---------------------------------------------------------------------------
+
+
+def strength_mask(A: HostCSR, theta: float = THETA_DEFAULT) -> np.ndarray:
+    """Boolean mask over ``A.data``: entry is a strong off-diagonal connection.
+
+    Vectorised form of ``strong_connections_in_row`` (``AMG.hpp:105-130``).
+    """
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), A.row_lengths)
+    offdiag = rows != A.indices
+    absval = np.abs(A.data)
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, rows[offdiag], absval[offdiag])
+    return offdiag & (absval >= theta * row_max[rows]) & (row_max[rows] > 0)
+
+
+def _strong_lists(A: HostCSR, strong: np.ndarray):
+    """Per-row strong neighbor lists as (indptr-style offsets, flat cols)."""
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), A.row_lengths)
+    s_rows = rows[strong]
+    s_cols = A.indices[strong]
+    counts = np.bincount(s_rows, minlength=n)
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr[1:])
+    return ptr, s_cols
+
+
+def coarsen_greedy(
+    A: HostCSR, theta: float = THETA_DEFAULT, seed: int = 0
+) -> np.ndarray:
+    """The reference's greedy sequential coarsening, made deterministic.
+
+    Reproduces ``select_coarse_nodes`` (``AMG.hpp:150-198``): per-node
+    counter = #strong connections; start from a (seeded) random node; mark
+    it coarse, its strong neighbors fine, bump their strong neighbors'
+    counters by 2; next pivot = highest-index node with nonzero counter
+    (the reference's scan keeps overwriting, ``AMG.hpp:184-192``).
+
+    Returns labels: 1 = coarse, 0 = fine.
+    """
+    n = A.shape[0]
+    strong = strength_mask(A, theta)
+    ptr, s_cols = _strong_lists(A, strong)
+    counter = np.diff(ptr).astype(np.int64)  # undecided iff counter > 0
+    fine = np.zeros(n, dtype=bool)
+    coarse = np.zeros(n, dtype=bool)
+    rng = np.random.default_rng(seed)
+    idx = int(rng.integers(0, n + 1)) % n  # getRandomInit range is [0, max]
+    while counter[idx] > 0:
+        counter[idx] = 0
+        coarse[idx] = True
+        for c in s_cols[ptr[idx]: ptr[idx + 1]]:
+            if counter[c] > 0:
+                fine[c] = True
+                counter[c] = 0
+                for c2 in s_cols[ptr[c]: ptr[c + 1]]:
+                    if counter[c2] > 0:
+                        counter[c2] += 2
+        nz = np.flatnonzero(counter > 0)
+        if nz.size == 0:
+            break
+        idx = int(nz[-1])
+    labels = (~fine).astype(np.int8)  # untouched (isolated) nodes stay coarse
+    # The reference divides by zero when a fine node has no strong *coarse*
+    # neighbor (strength is not symmetric, SURVEY.md §7.5); promote such
+    # orphans to coarse so interpolation is always well defined.
+    rows = np.repeat(np.arange(n), A.row_lengths)
+    strong_entry = strength_mask(A, theta)
+    has_c = np.zeros(n, dtype=bool)
+    sel = strong_entry & (labels[A.indices] == 1)
+    has_c[rows[sel]] = True
+    labels[(labels == 0) & ~has_c] = 1
+    return labels
+
+
+def coarsen_pmis(
+    A: HostCSR, theta: float = THETA_DEFAULT, seed: int = 0
+) -> np.ndarray:
+    """Deterministic PMIS coarsening (parallel-friendly; the TPU-idiomatic
+    replacement for the reference's sequential loop, SURVEY.md §7.4.3).
+
+    Independent-set selection on the symmetrised strength graph with hashed
+    random weights; fine nodes with no coarse strong neighbor are promoted
+    so interpolation is always well defined.
+    """
+    n = A.shape[0]
+    strong = strength_mask(A, theta)
+    rows = np.repeat(np.arange(n), A.row_lengths)
+    sr, sc = rows[strong], A.indices[strong]
+    # symmetrise: i ~ j if either direction is strong
+    er = np.concatenate([sr, sc])
+    ec = np.concatenate([sc, sr])
+    lam = np.bincount(er, minlength=n).astype(np.float64)  # degree weight
+    rng = np.random.default_rng(seed)
+    w = lam + rng.random(n)
+    state = np.zeros(n, dtype=np.int8)  # 0 undecided, 1 coarse, 2 fine
+    state[lam == 0] = 1  # isolated nodes are coarse (interpolated by identity)
+    for _ in range(n):
+        und = state == 0
+        if not und.any():
+            break
+        # a node wins if its weight beats every undecided neighbor's weight
+        both = und[er] & und[ec]
+        nbr_max = np.zeros(n)
+        np.maximum.at(nbr_max, er[both], w[ec[both]])
+        winners = und & (w > nbr_max)
+        if not winners.any():  # ties (measure-zero with random weights)
+            winners = und & (w >= nbr_max)
+        state[winners] = 1
+        # undecided neighbors of new coarse nodes become fine
+        new_fine = (state[er] == 0) & (state[ec] == 1)
+        state[er[new_fine]] = 2
+    # guarantee every fine node has a strong coarse neighbor
+    has_c = np.zeros(n, dtype=bool)
+    has_c[sr[state[sc] == 1]] = True
+    orphan = (state == 2) & ~has_c
+    state[orphan] = 1
+    return (state == 1).astype(np.int8)
+
+
+def build_prolongation(
+    A: HostCSR, labels: np.ndarray, theta: float = THETA_DEFAULT
+) -> HostCSR:
+    """Direct interpolation P (n_fine x n_coarse), reference weight formula.
+
+    Coarse row: single 1 at its coarse column (``AMG.hpp:243-247``).
+    Fine row i: ``w_k = a_ik / sum_{strong coarse k} a_ik``
+    (``AMG.hpp:249-293``; the alpha factor cancels — see module docstring).
+    """
+    n = A.shape[0]
+    labels = np.asarray(labels, dtype=np.int8)
+    coarse_ids = np.flatnonzero(labels == 1)
+    col_of = -np.ones(n, dtype=np.int64)
+    col_of[coarse_ids] = np.arange(coarse_ids.size)
+    strong = strength_mask(A, theta)
+    rows = np.repeat(np.arange(n), A.row_lengths)
+    # entries of P from fine rows: strong connections to coarse nodes
+    sel = strong & (labels[A.indices] == 1) & (labels[rows] == 0)
+    pr, pc, pv = rows[sel], col_of[A.indices[sel]], A.data[sel]
+    denom = np.zeros(n)
+    np.add.at(denom, pr, pv)
+    if np.any((labels == 0) & (denom == 0)):
+        # orphaned fine rows should have been promoted by the coarsener
+        bad = np.flatnonzero((labels == 0) & (denom == 0))
+        raise ValueError(f"fine nodes with no strong coarse neighbor: {bad[:10]}")
+    pv = pv / denom[pr]
+    # coarse rows: identity
+    cr = coarse_ids
+    cc = col_of[coarse_ids]
+    cv = np.ones(coarse_ids.size)
+    return HostCSR.from_coo(
+        np.concatenate([pr, cr]),
+        np.concatenate([pc, cc]),
+        np.concatenate([pv, cv]),
+        (n, coarse_ids.size),
+    )
+
+
+def greedy_coloring(A: HostCSR) -> tuple[np.ndarray, int]:
+    """Greedy graph coloring of the matrix adjacency (host, setup-time).
+
+    Powers the multicolor Gauss-Seidel smoother — the parallel equivalent of
+    the reference's sequential sweep (``AMG/include/Utilities.hpp:38-98``).
+    """
+    n = A.shape[0]
+    colors = -np.ones(n, dtype=np.int64)
+    for i in range(n):
+        cols, _ = A.row(i)
+        used = set(colors[c] for c in cols if c != i and colors[c] >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = c
+    return colors, int(colors.max()) + 1 if n else 0
+
+
+# ---------------------------------------------------------------------------
+# Device-side hierarchy
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AMGLevel:
+    """One AMG level on device."""
+
+    A: ELLMatrix
+    diag: jax.Array
+    color: jax.Array  # (n,) int32 color ids for multicolor GS
+    n_colors: int = dataclasses.field(metadata=dict(static=True))
+    P: Optional[ELLMatrix] = None  # to the NEXT (coarser) level
+    Pt: Optional[ELLMatrix] = None
+    rhs: Optional[jax.Array] = None  # reference-compat coarse rhs (P^T...rhs)
+
+
+def _to_device_level(A: HostCSR, dtype=jnp.float64) -> tuple:
+    ell = ELLMatrix.from_host_csr(A, dtype=dtype)
+    diag = jnp.asarray(A.diagonal(), dtype=dtype)
+    colors, n_colors = greedy_coloring(A)
+    return ell, diag, jnp.asarray(colors, dtype=jnp.int32), n_colors
+
+
+def mc_gs_sweep(level: AMGLevel, x: jax.Array, b: jax.Array) -> jax.Array:
+    """One multicolor Gauss-Seidel sweep: per color, a fused masked update
+    ``x_c <- x_c + (b - A x)_c / diag_c`` using the freshest ``x``."""
+    for c in range(level.n_colors):
+        r = b - level.A.spmv(x)
+        x = jnp.where(level.color == c, x + r / level.diag, x)
+    return x
+
+
+def jacobi_sweep(level: AMGLevel, x: jax.Array, b: jax.Array,
+                 omega: float = 2.0 / 3.0) -> jax.Array:
+    r = b - level.A.spmv(x)
+    return x + omega * r / level.diag
+
+
+class AMGSolver:
+    """Classical AMG: host setup, jitted device solve.
+
+    Mirrors the reference's constructor contract ``AMG(A, x, levels, rhs)``
+    (``AMG/include/AMG.hpp:33-41``) with the setup loop of
+    ``AMG::initialization`` (``AMG/src/AMG.cpp:76-120``).
+    """
+
+    def __init__(
+        self,
+        A: HostCSR,
+        num_levels: int = 5,
+        theta: float = THETA_DEFAULT,
+        coarsening: str = "pmis",  # "pmis" | "greedy" (reference-compat)
+        smoother: str = "mcgs",  # "mcgs" | "jacobi"
+        seed: int = 0,
+        min_coarse: int = 8,
+        dtype=jnp.float64,
+        rhs: Optional[np.ndarray] = None,
+    ):
+        self.theta = theta
+        self.dtype = dtype
+        self.smoother_name = smoother
+        coarsen = {"pmis": coarsen_pmis, "greedy": coarsen_greedy}[coarsening]
+
+        self.host_matrices: List[HostCSR] = [A]
+        self.host_P: List[HostCSR] = []
+        cur = A
+        for _ in range(num_levels - 1):
+            if cur.shape[0] <= min_coarse:
+                break
+            labels = coarsen(cur, theta, seed)
+            if labels.sum() == cur.shape[0]:  # no coarsening progress
+                break
+            P = build_prolongation(cur, labels, theta)
+            cur = rap(P, cur)
+            self.host_P.append(P)
+            self.host_matrices.append(cur)
+
+        # device levels
+        self.levels: List[AMGLevel] = []
+        rhs_l = None if rhs is None else np.asarray(rhs, dtype=np.float64)
+        for i, M in enumerate(self.host_matrices):
+            ell, diag, colors, n_colors = _to_device_level(M, dtype)
+            P = Pt = None
+            if i < len(self.host_P):
+                P = ELLMatrix.from_host_csr(self.host_P[i], dtype=dtype)
+                Pt = ELLMatrix.from_host_csr(self.host_P[i].transpose(), dtype=dtype)
+            lvl_rhs = None
+            if rhs_l is not None:
+                lvl_rhs = jnp.asarray(rhs_l, dtype=dtype)
+                if i < len(self.host_P):
+                    rhs_l = self.host_P[i].transpose().spmv(rhs_l)
+            self.levels.append(
+                AMGLevel(A=ell, diag=diag, color=colors, n_colors=n_colors,
+                         P=P, Pt=Pt, rhs=lvl_rhs)
+            )
+
+        # dense coarsest operator for the direct bottom solve
+        self._coarse_dense = jnp.asarray(
+            self.host_matrices[-1].to_dense(), dtype=dtype
+        )
+        self._jit_vcycle = jax.jit(self._vcycle_impl)
+        self._jit_solve = jax.jit(self._solve_impl, static_argnames=("tol", "maxit"))
+
+    # -- diagnostics ---------------------------------------------------------
+
+    @property
+    def level_sizes(self) -> list[int]:
+        return [M.shape[0] for M in self.host_matrices]
+
+    @property
+    def operator_complexity(self) -> float:
+        return sum(M.nnz for M in self.host_matrices) / self.host_matrices[0].nnz
+
+    # -- solve: standard residual-correction V-cycle -------------------------
+
+    def _smooth(self, lvl: AMGLevel, x, b, sweeps: int):
+        for _ in range(sweeps):
+            if self.smoother_name == "mcgs":
+                x = mc_gs_sweep(lvl, x, b)
+            else:
+                x = jacobi_sweep(lvl, x, b)
+        return x
+
+    def _vcycle_impl(self, x, b, nu1=1, nu2=1, _level=0):
+        lvl = self.levels[_level]
+        if _level == len(self.levels) - 1:
+            return jnp.linalg.solve(self._coarse_dense, b)
+        x = self._smooth(lvl, x, b, nu1)
+        r = b - lvl.A.spmv(x)
+        bc = lvl.Pt.spmv(r)
+        xc = self._vcycle_impl(jnp.zeros_like(bc), bc, nu1, nu2, _level + 1)
+        x = x + lvl.P.spmv(xc)
+        return self._smooth(lvl, x, b, nu2)
+
+    def vcycle(self, x, b, nu1: int = 1, nu2: int = 1):
+        return self._jit_vcycle(x, b, nu1, nu2)
+
+    def _solve_impl(self, x, b, tol, maxit):
+        b2 = jnp.sum(b * b)
+
+        def body(state):
+            x, k, _ = state
+            x = self._vcycle_impl(x, b)
+            r = b - self.levels[0].A.spmv(x)
+            return x, k + 1, jnp.sum(r * r)
+
+        def cond(state):
+            _, k, rn2 = state
+            return (k < maxit) & (rn2 > tol * tol * b2)
+
+        x, k, rn2 = jax.lax.while_loop(cond, body, (x, jnp.int32(0), b2))
+        rel = jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
+        return x, k, rel
+
+    def solve(self, b, x0=None, tol: float = 1e-10, maxit: int = 100):
+        """V-cycle iteration to relative residual ``tol``.
+
+        Returns ``(x, iterations, rel_residual)``.
+        """
+        b = jnp.asarray(b, dtype=self.dtype)
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+        x, k, rel = self._jit_solve(x0, b, tol=tol, maxit=maxit)
+        return x, int(k), float(rel)
+
+    # -- reference-compat sawtooth pass --------------------------------------
+
+    def reference_sawtooth_pass(
+        self, x, pre: int = 10, coarse: int = 200, post: int = 10
+    ):
+        """One pass of the reference's solve scheme (``AMG/src/AMG.cpp:277-308``):
+        down-leg {smooth ``pre`` sweeps on (A_l, rhs_l); restrict the
+        *solution* ``x_{l+1} = P^T x_l``}, ``coarse`` sweeps at the bottom,
+        up-leg {``x_l += P x_{l+1}``; smooth ``post`` sweeps}.
+
+        Requires the solver to have been built with ``rhs=`` so the per-level
+        right-hand sides ``P^T ... P^T rhs`` exist (the reference builds them
+        during setup, ``AMG/src/AMG.cpp:100-109``).
+        """
+        if self.levels[0].rhs is None:
+            raise ValueError("reference_sawtooth_pass needs rhs= at setup")
+        xs = [jnp.asarray(x, dtype=self.dtype)]
+        L = len(self.levels)
+        for l in range(L - 1):
+            lvl = self.levels[l]
+            xs[l] = self._smooth(lvl, xs[l], lvl.rhs, pre)
+            xs.append(lvl.Pt.spmv(xs[l]))
+        xs[L - 1] = self._smooth(
+            self.levels[L - 1], xs[L - 1], self.levels[L - 1].rhs, coarse
+        )
+        for l in range(L - 2, -1, -1):
+            lvl = self.levels[l]
+            xs[l] = xs[l] + lvl.P.spmv(xs[l + 1])
+            xs[l] = self._smooth(lvl, xs[l], lvl.rhs, post)
+        return xs[0]
+
+    def residual_norm(self, x, b) -> float:
+        r = jnp.asarray(b, self.dtype) - self.levels[0].A.spmv(
+            jnp.asarray(x, self.dtype)
+        )
+        return float(jnp.sqrt(jnp.sum(r * r)))

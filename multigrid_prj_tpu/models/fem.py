@@ -1,0 +1,302 @@
+"""P1 finite-element front-end: gmsh import, assembly, Dirichlet lifting,
+VTU export.
+
+Capability parity with the reference's FEM layer (``AMG/``):
+
+* **gmsh 4.1 ASCII import** (``AMG/src/FEM.cpp:3-316``): ``$Nodes`` /
+  ``$Elements`` blocks; 1D (type 1) elements mark boundary nodes
+  (``FEM.cpp:143-151``); 2D (type 2) elements are the triangles
+  (``FEM.cpp:153-183``).  Higher-order dof generation (``FEM.cpp:185-270``)
+  is not reproduced: the reference's Quadratic/ThirdOrder elements have no
+  basis functions and cannot assemble (SURVEY.md §7.5), so P1 is the whole
+  working surface.
+* **Separate boundary/interior numbering** (``set_index``,
+  ``FEM.cpp:287-303``): interior nodes are numbered 0..n_int-1 in node
+  order; the assembled system contains interior dofs only.
+* **P1 assembly** (``AMG/src/main.cpp:34-88``): vertex quadrature
+  (points = vertices, weights = area/3, ``FEM.hpp:237-239``), constant
+  gradients per element, ``A[i,j] += alpha(q) (grad_i . grad_j) w_q``;
+  ``rhs[i] += f(x_i, y_i) phi_i(q) w_q`` — note the reference evaluates the
+  forcing at the *dof* location, reproduced here.
+* **Dirichlet lifting** (``main.cpp:89-116``):
+  ``rhs[i] -= g(x_j, y_j) alpha(q) (grad_i . grad_j) w_q`` for boundary
+  ``j``.
+* **Problem definition** (``AMG/src/Utilities.cpp:3-27``):
+  ``g = sin(5 r)``, ``f = -5 (cos(5r)/r - 5 sin(5r))``, ``alpha = 1``.
+* **VTU export** (``FEM.cpp:318-412``): XML ``UnstructuredGrid`` with the
+  point scalar ``u`` — boundary nodes get ``g``, interior get the solution.
+
+TPU-native design: assembly is fully vectorised over elements (the
+reference's per-element scatter loop becomes batched geometry + one
+duplicate-summing COO->CSR compression); the assembled operator then ships
+to device as ELL for the AMG solve phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import numpy as np
+
+from multigrid_prj_tpu.ops.sparse import HostCSR
+
+
+# -- reference problem functions (AMG/src/Utilities.cpp:3-27) ----------------
+
+
+def default_boundary_function(x, y):
+    return np.sin(5.0 * np.sqrt(x * x + y * y))
+
+
+def default_forcing_term(x, y):
+    r = np.sqrt(x * x + y * y)
+    r_safe = np.where(r == 0.0, 1.0, r)
+    val = -5.0 * (np.cos(5.0 * r) / r_safe - 5.0 * np.sin(5.0 * r))
+    return np.where(r == 0.0, 0.0, val)
+
+
+def default_alpha(x, y):
+    return np.ones_like(np.asarray(x, dtype=np.float64))
+
+
+# -- mesh ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TriangularMesh:
+    """P1 triangular mesh with the reference's boundary/interior split."""
+
+    nodes: np.ndarray  # (N, 2)
+    triangles: np.ndarray  # (M, 3) node ids, each row sorted ascending
+    on_boundary: np.ndarray  # (N,) bool
+
+    @property
+    def n_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def n_elements(self) -> int:
+        return self.triangles.shape[0]
+
+    @property
+    def n_boundary_nodes(self) -> int:
+        return int(self.on_boundary.sum())
+
+    @property
+    def set_index(self) -> np.ndarray:
+        """Per-node index in its class (interior / boundary), node order —
+        the reference's ``set_index`` numbering (``FEM.cpp:287-303``)."""
+        idx = np.zeros(self.n_nodes, dtype=np.int64)
+        idx[~self.on_boundary] = np.arange((~self.on_boundary).sum())
+        idx[self.on_boundary] = np.arange(self.on_boundary.sum())
+        return idx
+
+
+def parse_msh(path: str) -> TriangularMesh:
+    """Parse a gmsh 4.1 ASCII file (``$Nodes``/``$Elements``; element type 1
+    = boundary line, type 2 = triangle).  Mirrors ``import_from_msh``
+    (``AMG/src/FEM.cpp:3-316``) without its fixed-size parsing loops."""
+    with open(path) as fh:
+        lines = fh.read().split("\n")
+    i = 0
+
+    def seek(tag):
+        nonlocal i
+        while i < len(lines) and lines[i].strip() != tag:
+            i += 1
+        if i == len(lines):
+            raise ValueError(f"{path}: missing {tag} block")
+        i += 1
+
+    seek("$MeshFormat")
+    version = lines[i].split()[0]
+    if not version.startswith("4"):
+        raise ValueError(f"{path}: unsupported gmsh version {version} (need 4.x)")
+
+    seek("$Nodes")
+    num_blocks, num_nodes, min_tag, max_tag = (int(t) for t in lines[i].split())
+    i += 1
+    coords = np.zeros((max_tag + 1, 2))
+    seen = np.zeros(max_tag + 1, dtype=bool)
+    for _ in range(num_blocks):
+        _dim, _etag, _param, n_in_block = (int(t) for t in lines[i].split())
+        i += 1
+        tags = [int(lines[i + k]) for k in range(n_in_block)]
+        i += n_in_block
+        for k in range(n_in_block):
+            parts = lines[i + k].split()
+            coords[tags[k]] = (float(parts[0]), float(parts[1]))
+            seen[tags[k]] = True
+        i += n_in_block
+
+    seek("$Elements")
+    num_blocks, _num_elems, _emin, _emax = (int(t) for t in lines[i].split())
+    i += 1
+    boundary_tags: list[int] = []
+    tri_rows: list[list[int]] = []
+    for _ in range(num_blocks):
+        _dim, _etag, etype, n_in_block = (int(t) for t in lines[i].split())
+        i += 1
+        for k in range(n_in_block):
+            parts = [int(t) for t in lines[i + k].split()]
+            if etype == 1:  # 2-node line: boundary marker
+                boundary_tags.extend(parts[1:3])
+            elif etype == 2:  # 3-node triangle
+                tri_rows.append(sorted(parts[1:4]))  # sorted like FEM.cpp:153-183
+            elif etype == 15:  # point element: its node is on the boundary
+                boundary_tags.append(parts[1])
+        i += n_in_block
+
+    if not seen[min_tag: max_tag + 1].all():
+        raise ValueError(f"{path}: non-contiguous node tags unsupported")
+
+    # re-index tags -> 0-based node ids
+    nodes = coords[min_tag: max_tag + 1]
+    on_boundary = np.zeros(num_nodes, dtype=bool)
+    on_boundary[np.asarray(boundary_tags, dtype=np.int64) - min_tag] = True
+    tris = np.asarray(tri_rows, dtype=np.int64) - min_tag
+    return TriangularMesh(nodes=nodes, triangles=tris, on_boundary=on_boundary)
+
+
+def structured_unit_square_mesh(n: int) -> TriangularMesh:
+    """n x n node structured triangulation of the unit square (test utility —
+    gives the framework a mesh source independent of gmsh files)."""
+    xs = np.linspace(0.0, 1.0, n)
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    nodes = np.stack([X.ravel(), Y.ravel()], axis=1)
+    tris = []
+    for r in range(n - 1):
+        for c in range(n - 1):
+            a = r * n + c
+            b, d, e = a + 1, a + n, a + n + 1
+            tris.append(sorted((a, b, d)))
+            tris.append(sorted((b, e, d)))
+    on_b = (
+        (nodes[:, 0] == 0) | (nodes[:, 0] == 1)
+        | (nodes[:, 1] == 0) | (nodes[:, 1] == 1)
+    )
+    return TriangularMesh(
+        nodes=nodes, triangles=np.asarray(tris, dtype=np.int64), on_boundary=on_b
+    )
+
+
+# -- assembly -----------------------------------------------------------------
+
+
+def _p1_geometry(mesh: TriangularMesh):
+    """Vectorised element geometry: areas (M,), basis gradients (M, 3, 2)."""
+    p = mesh.nodes[mesh.triangles]  # (M, 3, 2)
+    x, y = p[..., 0], p[..., 1]
+    signed_area = 0.5 * (
+        (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0])
+        - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0])
+    )
+    inv2A = 1.0 / (2.0 * signed_area)
+    grads = np.empty((mesh.n_elements, 3, 2))
+    grads[:, 0, 0] = (y[:, 1] - y[:, 2]) * inv2A
+    grads[:, 0, 1] = (x[:, 2] - x[:, 1]) * inv2A
+    grads[:, 1, 0] = (y[:, 2] - y[:, 0]) * inv2A
+    grads[:, 1, 1] = (x[:, 0] - x[:, 2]) * inv2A
+    grads[:, 2, 0] = (y[:, 0] - y[:, 1]) * inv2A
+    grads[:, 2, 1] = (x[:, 1] - x[:, 0]) * inv2A
+    return np.abs(signed_area), grads
+
+
+def assemble_p1(
+    mesh: TriangularMesh,
+    f: Callable = default_forcing_term,
+    g: Callable = default_boundary_function,
+    alpha: Callable = default_alpha,
+) -> Tuple[HostCSR, np.ndarray]:
+    """Assemble the interior-dof stiffness matrix and lifted RHS.
+
+    Returns ``(A, rhs)`` with ``A`` of size n_interior x n_interior —
+    exactly the system the reference hands to ``AMG`` (``main.cpp:126``).
+    """
+    areas, grads = _p1_geometry(mesh)
+    p = mesh.nodes[mesh.triangles]  # (M, 3, 2)
+    # vertex quadrature: sum_q alpha(q) w_q with w_q = area / 3
+    alpha_q = alpha(p[..., 0], p[..., 1])  # (M, 3)
+    alpha_int = (areas / 3.0) * np.sum(np.broadcast_to(alpha_q, p[..., 0].shape), axis=1)
+    # local stiffness K[e, i, j] = (grad_i . grad_j) * integral(alpha)
+    K = np.einsum("eid,ejd->eij", grads, grads) * alpha_int[:, None, None]
+
+    set_index = mesh.set_index
+    interior = ~mesh.on_boundary
+    tri_interior = interior[mesh.triangles]  # (M, 3)
+    tri_sidx = set_index[mesh.triangles]  # (M, 3) class-local ids
+
+    ii = np.broadcast_to(tri_sidx[:, :, None], K.shape)
+    jj = np.broadcast_to(tri_sidx[:, None, :], K.shape)
+    mask_ii = np.broadcast_to(tri_interior[:, :, None], K.shape)
+    mask_jj = np.broadcast_to(tri_interior[:, None, :], K.shape)
+
+    n_int = int(interior.sum())
+    both = mask_ii & mask_jj
+    A = HostCSR.from_coo(ii[both], jj[both], K[both], (n_int, n_int))
+
+    # rhs: f evaluated at the dof location (main.cpp:77-88), phi_i(q_j) = delta
+    rhs = np.zeros(n_int)
+    fvals = f(p[..., 0], p[..., 1]) * (areas[:, None] / 3.0)  # (M, 3)
+    sel = tri_interior
+    np.add.at(rhs, tri_sidx[sel], fvals[sel])
+
+    # Dirichlet lifting (main.cpp:89-116): i interior, j boundary
+    lift = mask_ii & ~mask_jj
+    if lift.any():
+        gvals = g(p[..., 0], p[..., 1])  # (M, 3) value of g at vertex j
+        gj = np.broadcast_to(gvals[:, None, :], K.shape)
+        np.subtract.at(rhs, ii[lift], (gj * K)[lift])
+    return A, rhs
+
+
+def solution_on_mesh(mesh: TriangularMesh, sol_interior: np.ndarray,
+                     g: Callable = default_boundary_function) -> np.ndarray:
+    """Full nodal field: boundary nodes get ``g``, interior get the solution
+    (the VTU writer's rule, ``FEM.cpp:318-412``)."""
+    u = np.zeros(mesh.n_nodes)
+    u[~mesh.on_boundary] = np.asarray(sol_interior)
+    bx, by = mesh.nodes[mesh.on_boundary, 0], mesh.nodes[mesh.on_boundary, 1]
+    u[mesh.on_boundary] = g(bx, by)
+    return u
+
+
+def export_vtu(path: str, mesh: TriangularMesh, sol_interior: np.ndarray,
+               g: Callable = default_boundary_function) -> None:
+    """Hand-written XML ``UnstructuredGrid`` writer (``FEM.cpp:318-412``):
+    points, triangle connectivity, offsets, cell type 5, point scalar ``u``."""
+    u = solution_on_mesh(mesh, sol_interior, g)
+    n, m = mesh.n_nodes, mesh.n_elements
+    with open(path, "w") as fh:
+        fh.write('<?xml version="1.0"?>\n')
+        fh.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                 'byte_order="LittleEndian">\n')
+        fh.write("  <UnstructuredGrid>\n")
+        fh.write(f'    <Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n')
+        fh.write("      <Points>\n")
+        fh.write('        <DataArray type="Float64" NumberOfComponents="3" '
+                 'format="ascii">\n')
+        for x, y in mesh.nodes:
+            fh.write(f"          {x} {y} 0\n")
+        fh.write("        </DataArray>\n      </Points>\n")
+        fh.write("      <Cells>\n")
+        fh.write('        <DataArray type="Int32" Name="connectivity" '
+                 'format="ascii">\n')
+        for a, b, c in mesh.triangles:
+            fh.write(f"          {a} {b} {c}\n")
+        fh.write("        </DataArray>\n")
+        fh.write('        <DataArray type="Int32" Name="offsets" format="ascii">\n')
+        for k in range(1, m + 1):
+            fh.write(f"          {3 * k}\n")
+        fh.write("        </DataArray>\n")
+        fh.write('        <DataArray type="UInt8" Name="types" format="ascii">\n')
+        for _ in range(m):
+            fh.write("          5\n")
+        fh.write("        </DataArray>\n      </Cells>\n")
+        fh.write('      <PointData Scalars="u">\n')
+        fh.write('        <DataArray type="Float64" Name="u" format="ascii">\n')
+        for v in u:
+            fh.write(f"          {v}\n")
+        fh.write("        </DataArray>\n      </PointData>\n")
+        fh.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")

@@ -1,0 +1,158 @@
+"""AMG setup/solve tests: strength graph, coarsening invariants,
+interpolation properties, Galerkin product, and end-to-end convergence on
+FD and FEM systems."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multigrid_prj_tpu.amg import (
+    AMGSolver,
+    build_prolongation,
+    coarsen_greedy,
+    coarsen_pmis,
+    mc_gs_sweep,
+    strength_mask,
+)
+from multigrid_prj_tpu.models.fem import assemble_p1, structured_unit_square_mesh
+from multigrid_prj_tpu.ops.sparse import HostCSR, rap
+
+
+def fd_poisson(n):
+    """Interior-only 5-point FD Poisson on an n x n interior grid."""
+    N = n * n
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        for j in range(n):
+            r = i * n + j
+            rows.append(r); cols.append(r); vals.append(4.0)
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < n and 0 <= jj < n:
+                    rows.append(r); cols.append(ii * n + jj); vals.append(-1.0)
+    return HostCSR.from_coo(rows, cols, vals, (N, N))
+
+
+def test_strength_mask_theta():
+    #      row 0: diag 4, offdiag -1 (strong), -0.1 (weak vs max 1)
+    A = HostCSR.from_coo(
+        [0, 0, 0, 1, 1], [0, 1, 2, 1, 0], [4.0, -1.0, -0.1, 4.0, -1.0], (3, 3)
+    )
+    s = strength_mask(A, theta=0.2)
+    # entries sorted by (row, col): (0,0)F dia, (0,1)T, (0,2) |−0.1| < 0.2*1 F,
+    # (1,0)T, (1,1)F
+    assert s.tolist() == [False, True, False, True, False]
+
+
+@pytest.mark.parametrize("coarsen", [coarsen_pmis, coarsen_greedy])
+def test_coarsening_invariants(coarsen):
+    A = fd_poisson(12)
+    labels = coarsen(A, 0.2, seed=3)
+    n = A.shape[0]
+    assert labels.shape == (n,)
+    nc = labels.sum()
+    assert 0 < nc < n
+    # a sensible coarse fraction for 2D Poisson
+    assert 0.15 <= nc / n <= 0.75, nc / n
+    # every fine node has at least one strong coarse neighbor
+    strong = strength_mask(A, 0.2)
+    rows = np.repeat(np.arange(n), A.row_lengths)
+    has_c = np.zeros(n, dtype=bool)
+    sel = strong & (labels[A.indices] == 1)
+    has_c[rows[sel]] = True
+    assert has_c[labels == 0].all()
+
+
+def test_prolongation_rows_sum_to_one():
+    A = fd_poisson(10)
+    labels = coarsen_pmis(A, 0.2, seed=1)
+    P = build_prolongation(A, labels)
+    assert P.shape == (A.shape[0], labels.sum())
+    row_sums = P.to_dense().sum(axis=1)
+    np.testing.assert_allclose(row_sums, 1.0, atol=1e-12)
+    # coarse rows are identity rows
+    dense = P.to_dense()
+    for local, i in enumerate(np.flatnonzero(labels == 1)):
+        assert dense[i, local] == 1.0
+        assert np.count_nonzero(dense[i]) == 1
+
+
+def test_galerkin_preserves_spd():
+    A = fd_poisson(8)
+    labels = coarsen_pmis(A, 0.2, seed=2)
+    P = build_prolongation(A, labels)
+    Ac = rap(P, A).to_dense()
+    np.testing.assert_allclose(Ac, Ac.T, atol=1e-12)
+    assert np.linalg.eigvalsh(Ac).min() > 0
+
+
+def test_mcgs_is_gauss_seidel_per_color():
+    """Multicolor GS is a fixed point at the exact solution and reduces the
+    error monotonically in the A-norm."""
+    A = fd_poisson(6)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(36)
+    x_exact = np.linalg.solve(A.to_dense(), b)
+    solver = AMGSolver(A, num_levels=1)
+    lvl = solver.levels[0]
+    xe = jnp.asarray(x_exact)
+    np.testing.assert_allclose(
+        np.asarray(mc_gs_sweep(lvl, xe, jnp.asarray(b))), x_exact, atol=1e-10
+    )
+    D = A.to_dense()
+    x = jnp.zeros(36, dtype=jnp.float64)
+    prev = x_exact @ D @ x_exact
+    for _ in range(5):
+        x = mc_gs_sweep(lvl, x, jnp.asarray(b))
+        e = np.asarray(x) - x_exact
+        cur = e @ D @ e
+        assert cur < prev
+        prev = cur
+
+
+@pytest.mark.parametrize("coarsening", ["pmis", "greedy"])
+def test_amg_solves_fd_poisson(coarsening):
+    A = fd_poisson(16)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal(A.shape[0])
+    solver = AMGSolver(A, num_levels=4, coarsening=coarsening)
+    x, iters, rel = solver.solve(b, tol=1e-10, maxit=100)
+    assert rel <= 1e-10, rel
+    want = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-7, atol=1e-8)
+
+
+def test_amg_solves_fem_system():
+    mesh = structured_unit_square_mesh(17)
+    A, rhs = assemble_p1(mesh)
+    solver = AMGSolver(A, num_levels=4)
+    assert solver.level_sizes[0] == A.shape[0]
+    assert len(solver.level_sizes) >= 2
+    x, iters, rel = solver.solve(rhs, tol=1e-10, maxit=200)
+    assert rel <= 1e-10
+    want = np.linalg.solve(A.to_dense(), rhs)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-6, atol=1e-9)
+
+
+def test_reference_sawtooth_pass_reduces_residual():
+    """One reference-style 10/200/10 pass must cut the residual by a large
+    factor (the reference prints exactly this after its single pass,
+    AMG/src/AMG.cpp:304)."""
+    mesh = structured_unit_square_mesh(17)
+    A, rhs = assemble_p1(mesh)
+    solver = AMGSolver(A, num_levels=3, rhs=rhs)
+    x0 = np.zeros(A.shape[0])
+    r0 = solver.residual_norm(x0, rhs)
+    x1 = solver.reference_sawtooth_pass(x0)
+    r1 = solver.residual_norm(x1, rhs)
+    # The reference's solution-restriction scheme reduces mostly through its
+    # 10/200/10 smoothing (measured ~0.08x here; plain 20 GS sweeps alone
+    # reach ~0.06x) — the faithful bar is the measured behavior.
+    assert r1 < 0.15 * r0, (r0, r1)
+
+
+def test_operator_complexity_reasonable():
+    A = fd_poisson(20)
+    solver = AMGSolver(A, num_levels=4)
+    assert 1.0 < solver.operator_complexity < 3.0
