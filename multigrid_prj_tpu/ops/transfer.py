@@ -27,28 +27,56 @@ import jax.numpy as jnp
 
 
 def restrict_inject(r: jax.Array) -> jax.Array:
-    """Injection: sample every other node per axis (the reference's mask read)."""
-    return r[(slice(None, None, 2),) * r.ndim]
+    """Injection: sample every other node per axis (the reference's mask read).
+
+    On even axes the high-side coarse edge is a fake boundary (see
+    :func:`_fw_axis`); it is zeroed for the same stability reason.
+    """
+    out = r[(slice(None, None, 2),) * r.ndim]
+    for ax, n in enumerate(r.shape):
+        if n % 2 == 0:
+            sl = [slice(None)] * r.ndim
+            sl[ax] = slice(-1, None)
+            pad_sl = [slice(None)] * r.ndim
+            pad_sl[ax] = slice(None, -1)
+            out = jnp.concatenate(
+                [out[tuple(pad_sl)], jnp.zeros_like(out[tuple(sl)])], axis=ax
+            )
+    return out
 
 
 def _fw_axis(a: jax.Array, axis: int) -> jax.Array:
-    """Full-weighting restriction along one axis (odd sizes only).
+    """Full-weighting restriction along one axis.
 
-    Coarse interior point 2i gets ``0.25 a[2i-1] + 0.5 a[2i] + 0.25 a[2i+1]``;
-    the two edge points are injected.
+    Odd ``n`` (the 2^k+1 case): coarse interior point ``2i`` gets
+    ``0.25 a[2i-1] + 0.5 a[2i] + 0.25 a[2i+1]``; both edge points are
+    injected (they sit on the fine Dirichlet boundary).
+
+    Even ``n``: the high-side coarse edge does NOT coincide with a fine
+    Dirichlet row — it is a *fake* boundary of the coarse grid.  The coarse
+    operator treats its edge rows as identity, so whatever lands there is
+    pinned verbatim into the error and re-amplified every cycle (measured:
+    divergence at ~1e5x/cycle on a 128^2 4-level V-cycle).  Zeroing the
+    fake-edge coarse row keeps the cycle a contraction (the correction just
+    has a homogeneous-Dirichlet dent one fine cell inside the domain, which
+    post-smoothing repairs).  Odd grids remain the quality path.
     """
     n = a.shape[axis]
-    if n % 2 == 0:
-        # Even sizes fall back to injection along this axis (mirrors the
-        # reference's subset semantics for non 2^k+1 grids, domain.cpp:9-12).
-        sl = [slice(None)] * a.ndim
-        sl[axis] = slice(None, None, 2)
-        return a[tuple(sl)]
 
     def ax_slice(lo, hi, step=1):
         sl = [slice(None)] * a.ndim
         sl[axis] = slice(lo, hi, step)
         return a[tuple(sl)]
+
+    if n % 2 == 0:
+        interior = (
+            0.25 * ax_slice(1, n - 3, 2)
+            + 0.5 * ax_slice(2, n - 2, 2)
+            + 0.25 * ax_slice(3, n - 1, 2)
+        )
+        first = ax_slice(0, 1)
+        fake_edge = jnp.zeros_like(first)
+        return jnp.concatenate([first, interior, fake_edge], axis=axis)
 
     interior = (
         0.25 * ax_slice(1, n - 2, 2)
