@@ -232,7 +232,11 @@ class GMGSolver:
         maxit: int = 1000,
         coarse_tol: float = 1e-1,
         coarse_maxit: int = 2000,
+        smoother_dtype=None,
     ):
+        """``smoother_dtype``: run smoothing sweeps in a lower precision
+        (e.g. ``jnp.bfloat16``) while residuals/corrections stay in the
+        outer dtype — the mixed-precision mode of BASELINE.json config 4."""
         self.levels = build_hierarchy(shape, length, num_levels)
         self.alpha = float(alpha)
         self.length = float(length)
@@ -244,6 +248,7 @@ class GMGSolver:
         self.coarse_tol = float(coarse_tol)
         self.coarse_maxit = int(coarse_maxit)
         self.smoother = make_smoother(smoother, omega=omega)
+        self.smoother_dtype = smoother_dtype
         self._jit_solve = jax.jit(self._solve_impl)
 
     def _cycle(self, u, b):
@@ -262,9 +267,27 @@ class GMGSolver:
         raise ValueError(f"unknown cycle {self.cycle!r}")
 
     def step(self, u, b):
-        """One outer iteration: pre-smooths + one cycle (``main.cpp:85``)."""
+        """One outer iteration: pre-smooths + one cycle (``main.cpp:85``).
+
+        Mixed precision (``smoother_dtype`` set) runs as defect correction:
+        the residual is computed in the outer dtype, the whole cycle solves
+        the *error equation* in the low dtype (where the error's small
+        magnitude keeps relative precision useful), and the correction is
+        added back in the outer dtype.  Quantizing the solution itself would
+        floor convergence at the low dtype's epsilon (measured: bf16 stalls
+        at rel. residual ~0.4 that way).
+        """
+        h0 = self.levels[0].h
+        if self.smoother_dtype is not None:
+            r = poisson_residual(u, b, self.alpha, h0)
+            e = jnp.zeros_like(r, dtype=self.smoother_dtype)
+            rl = r.astype(self.smoother_dtype)
+            if self.cycle == "sawtooth":
+                e = self.smoother(e, rl, self.alpha, h0, self.pre_sweeps)
+            e = self._cycle(e, rl)
+            return u + e.astype(u.dtype)
         if self.cycle == "sawtooth":
-            u = self.smoother(u, b, self.alpha, self.levels[0].h, self.pre_sweeps)
+            u = self.smoother(u, b, self.alpha, h0, self.pre_sweeps)
         return self._cycle(u, b)
 
     def _solve_impl(self, u, b):
