@@ -100,26 +100,30 @@ def coarsen_greedy(
     n = A.shape[0]
     strong = strength_mask(A, theta)
     ptr, s_cols = _strong_lists(A, strong)
-    counter = np.diff(ptr).astype(np.int64)  # undecided iff counter > 0
-    fine = np.zeros(n, dtype=bool)
-    coarse = np.zeros(n, dtype=bool)
     rng = np.random.default_rng(seed)
     idx = int(rng.integers(0, n + 1)) % n  # getRandomInit range is [0, max]
-    while counter[idx] > 0:
-        counter[idx] = 0
-        coarse[idx] = True
-        for c in s_cols[ptr[idx]: ptr[idx + 1]]:
-            if counter[c] > 0:
-                fine[c] = True
-                counter[c] = 0
-                for c2 in s_cols[ptr[c]: ptr[c + 1]]:
-                    if counter[c2] > 0:
-                        counter[c2] += 2
-        nz = np.flatnonzero(counter > 0)
-        if nz.size == 0:
-            break
-        idx = int(nz[-1])
-    labels = (~fine).astype(np.int8)  # untouched (isolated) nodes stay coarse
+
+    from multigrid_prj_tpu import native
+
+    if native.available() and n:
+        labels = native.greedy_coarsen(ptr, s_cols, n, idx)
+    else:
+        counter = np.diff(ptr).astype(np.int64)  # undecided iff counter > 0
+        fine = np.zeros(n, dtype=bool)
+        while counter[idx] > 0:
+            counter[idx] = 0
+            for c in s_cols[ptr[idx]: ptr[idx + 1]]:
+                if counter[c] > 0:
+                    fine[c] = True
+                    counter[c] = 0
+                    for c2 in s_cols[ptr[c]: ptr[c + 1]]:
+                        if counter[c2] > 0:
+                            counter[c2] += 2
+            nz = np.flatnonzero(counter > 0)
+            if nz.size == 0:
+                break
+            idx = int(nz[-1])
+        labels = (~fine).astype(np.int8)  # untouched (isolated) nodes stay coarse
     # The reference divides by zero when a fine node has no strong *coarse*
     # neighbor (strength is not symmetric, SURVEY.md §7.5); promote such
     # orphans to coarse so interpolation is always well defined.
@@ -220,8 +224,13 @@ def greedy_coloring(A: HostCSR) -> tuple[np.ndarray, int]:
 
     Powers the multicolor Gauss-Seidel smoother — the parallel equivalent of
     the reference's sequential sweep (``AMG/include/Utilities.hpp:38-98``).
+    Dispatches to the native C++ implementation when built.
     """
     n = A.shape[0]
+    from multigrid_prj_tpu import native
+
+    if native.available() and n:
+        return native.greedy_coloring(A.indptr, A.indices, n)
     colors = -np.ones(n, dtype=np.int64)
     for i in range(n):
         cols, _ = A.row(i)

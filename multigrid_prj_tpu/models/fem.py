@@ -93,10 +93,19 @@ class TriangularMesh:
         return idx
 
 
-def parse_msh(path: str) -> TriangularMesh:
+def parse_msh(path: str, use_native: bool = True) -> TriangularMesh:
     """Parse a gmsh 4.1 ASCII file (``$Nodes``/``$Elements``; element type 1
     = boundary line, type 2 = triangle).  Mirrors ``import_from_msh``
-    (``AMG/src/FEM.cpp:3-316``) without its fixed-size parsing loops."""
+    (``AMG/src/FEM.cpp:3-316``) without its fixed-size parsing loops.
+
+    Uses the native C++ loader (``native/mgtpu.cpp``) when built; this
+    Python implementation is the behavior-identical fallback."""
+    if use_native:
+        from multigrid_prj_tpu import native
+
+        if native.available():
+            nodes, tris, bnd = native.parse_msh(path)
+            return TriangularMesh(nodes=nodes, triangles=tris, on_boundary=bnd)
     with open(path) as fh:
         lines = fh.read().split("\n")
     i = 0

@@ -59,6 +59,15 @@ class HostCSR:
         cols = np.asarray(cols, dtype=np.int64).reshape(-1)
         vals = np.asarray(vals, dtype=np.float64).reshape(-1)
         n, m = int(shape[0]), int(shape[1])
+        if sum_duplicates and rows.size:
+            from multigrid_prj_tpu import native
+
+            if native.available():
+                res = native.coo_to_csr(rows, cols, vals, n)
+                if res is not None:
+                    indptr, indices, data = res
+                    return HostCSR(indptr=indptr, indices=indices, data=data,
+                                   shape=(n, m))
         order = np.lexsort((cols, rows))
         rows, cols, vals = rows[order], cols[order], vals[order]
         if sum_duplicates and rows.size:
@@ -142,6 +151,41 @@ class HostCSR:
         # segment sum over rows
         np.add.at(out, np.repeat(np.arange(self.shape[0]), self.row_lengths), prods)
         return out
+
+    def permute(self, perm: np.ndarray) -> "HostCSR":
+        """Symmetric permutation ``A[perm][:, perm]`` (RCM reordering etc.)."""
+        perm = np.asarray(perm, dtype=np.int64)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size)
+        rows, cols, vals = self.to_coo()
+        return HostCSR.from_coo(inv[rows], inv[cols], vals, self.shape)
+
+    def rcm_permutation(self) -> np.ndarray:
+        """Reverse Cuthill-McKee ordering (native lib when built) — reduces
+        bandwidth so ELL row neighborhoods stay local on device."""
+        from multigrid_prj_tpu import native
+
+        n = self.shape[0]
+        perm = native.rcm(self.indptr, self.indices, n) if native.available() else None
+        if perm is not None:
+            return perm
+        # Python fallback: BFS from min-degree nodes, neighbors by degree.
+        deg = self.row_lengths
+        visited = np.zeros(n, dtype=bool)
+        order = []
+        while len(order) < n:
+            start = int(np.argmin(np.where(visited, np.iinfo(np.int64).max, deg)))
+            queue = [start]
+            visited[start] = True
+            while queue:
+                u = queue.pop(0)
+                order.append(u)
+                nbrs = [int(v) for v in self.row(u)[0] if not visited[v]]
+                for v in sorted(nbrs, key=lambda x: deg[x]):
+                    if not visited[v]:
+                        visited[v] = True
+                        queue.append(v)
+        return np.asarray(order[::-1], dtype=np.int64)
 
     def transpose(self) -> "HostCSR":
         rows, cols, vals = self.to_coo()
