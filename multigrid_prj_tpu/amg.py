@@ -259,6 +259,8 @@ class AMGLevel:
     P: Optional[ELLMatrix] = None  # to the NEXT (coarser) level
     Pt: Optional[ELLMatrix] = None
     rhs: Optional[jax.Array] = None  # reference-compat coarse rhs (P^T...rhs)
+    lmax: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    # largest eigenvalue estimate of D^-1 A (Chebyshev smoother interval)
 
 
 def _to_device_level(A: HostCSR, dtype=jnp.float64) -> tuple:
@@ -283,6 +285,53 @@ def jacobi_sweep(level: AMGLevel, x: jax.Array, b: jax.Array,
     return x + omega * r / level.diag
 
 
+def chebyshev_smooth(level: AMGLevel, x: jax.Array, b: jax.Array,
+                     degree: int = 3, lmin_ratio: float = 0.30) -> jax.Array:
+    """Degree-``degree`` Chebyshev polynomial smoother on
+    ``[lmin_ratio * lmax, 1.05 * lmax]`` of ``D^{-1} A``.
+
+    The standard parallel AMG smoother (cf. "Optimal Polynomial Smoothers
+    for Parallel AMG", PAPERS.md): no sequential dependences, ``degree``
+    SpMVs per application, no inner products — ideal for TPU.  ``lmax`` is
+    estimated once at setup by power iteration.
+    """
+    lmax = 1.05 * level.lmax
+    lmin = lmin_ratio * level.lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = b - level.A.spmv(x)
+    p = (r / level.diag) / theta
+    x = x + p
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = b - level.A.spmv(x)
+        p = (rho_new * rho) * p + (2.0 * rho_new / delta) * (r / level.diag)
+        x = x + p
+        rho = rho_new
+    return x
+
+
+def _estimate_lmax(A: HostCSR, iters: int = 25, seed: int = 7) -> float:
+    """Power iteration on ``D^{-1} A`` (host, setup-time)."""
+    n = A.shape[0]
+    d = A.diagonal()
+    d = np.where(d == 0, 1.0, d)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = A.spmv(v) / d
+        nw = np.linalg.norm(w)
+        if nw == 0:
+            return 1.0
+        lam = nw
+        v = w / nw
+    return float(lam)
+
+
 class AMGSolver:
     """Classical AMG: host setup, jitted device solve.
 
@@ -297,7 +346,8 @@ class AMGSolver:
         num_levels: int = 5,
         theta: float = THETA_DEFAULT,
         coarsening: str = "pmis",  # "pmis" | "greedy" (reference-compat)
-        smoother: str = "mcgs",  # "mcgs" | "jacobi"
+        smoother: str = "mcgs",  # "mcgs" | "jacobi" | "chebyshev"
+        cheb_degree: int = 3,
         seed: int = 0,
         min_coarse: int = 8,
         dtype=jnp.float64,
@@ -306,6 +356,7 @@ class AMGSolver:
         self.theta = theta
         self.dtype = dtype
         self.smoother_name = smoother
+        self.cheb_degree = int(cheb_degree)
         coarsen = {"pmis": coarsen_pmis, "greedy": coarsen_greedy}[coarsening]
 
         self.host_matrices: List[HostCSR] = [A]
@@ -327,6 +378,7 @@ class AMGSolver:
         rhs_l = None if rhs is None else np.asarray(rhs, dtype=np.float64)
         for i, M in enumerate(self.host_matrices):
             ell, diag, colors, n_colors = _to_device_level(M, dtype)
+            lmax = _estimate_lmax(M) if smoother == "chebyshev" else 0.0
             P = Pt = None
             if i < len(self.host_P):
                 P = ELLMatrix.from_host_csr(self.host_P[i], dtype=dtype)
@@ -338,7 +390,7 @@ class AMGSolver:
                     rhs_l = self.host_P[i].transpose().spmv(rhs_l)
             self.levels.append(
                 AMGLevel(A=ell, diag=diag, color=colors, n_colors=n_colors,
-                         P=P, Pt=Pt, rhs=lvl_rhs)
+                         P=P, Pt=Pt, rhs=lvl_rhs, lmax=lmax)
             )
 
         # dense coarsest operator for the direct bottom solve
@@ -364,6 +416,8 @@ class AMGSolver:
         for _ in range(sweeps):
             if self.smoother_name == "mcgs":
                 x = mc_gs_sweep(lvl, x, b)
+            elif self.smoother_name == "chebyshev":
+                x = chebyshev_smooth(lvl, x, b, degree=self.cheb_degree)
             else:
                 x = jacobi_sweep(lvl, x, b)
         return x
@@ -409,6 +463,27 @@ class AMGSolver:
             x0 = jnp.zeros_like(b)
         x, k, rel = self._jit_solve(x0, b, tol=tol, maxit=maxit)
         return x, int(k), float(rel)
+
+    def solve_pcg(self, b, x0=None, tol: float = 1e-10, maxit: int = 200):
+        """AMG-preconditioned conjugate gradients.
+
+        One V(1,1) cycle as the preconditioner — the standard acceleration
+        that makes even weak interpolation (e.g. PMIS + the reference's
+        direct weights) converge in O(10) iterations.  Returns
+        ``(x, iterations, rel_residual)``.
+        """
+        from multigrid_prj_tpu.ops.krylov import cg
+
+        b = jnp.asarray(b, dtype=self.dtype)
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+        A0 = self.levels[0].A
+
+        res = cg(
+            lambda v: A0.spmv(v), b, x0=x0, tol=tol, maxit=maxit,
+            M=lambda r: self._vcycle_impl(jnp.zeros_like(r), r),
+        )
+        return res.x, res.iterations, res.rel_residual
 
     # -- reference-compat sawtooth pass --------------------------------------
 

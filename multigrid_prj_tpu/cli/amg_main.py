@@ -26,7 +26,10 @@ def main(argv=None) -> int:
     p.add_argument("-theta", type=float, default=0.2,
                    help="strength threshold (reference EPSILON, AMG.hpp:21)")
     p.add_argument("-coarsening", choices=("pmis", "greedy"), default="pmis")
-    p.add_argument("-smoother", choices=("mcgs", "jacobi"), default="mcgs")
+    p.add_argument("-smoother", choices=("mcgs", "jacobi", "chebyshev"),
+                   default="mcgs")
+    p.add_argument("-accel", choices=("none", "pcg"), default="none",
+                   help="Krylov acceleration: AMG-preconditioned CG")
     p.add_argument("-tol", type=float, default=1e-10)
     p.add_argument("-maxit", type=int, default=100)
     p.add_argument("-o", default="output.vtu")
@@ -70,6 +73,11 @@ def main(argv=None) -> int:
         x = solver.reference_sawtooth_pass(np.zeros(A.shape[0]))
         print(f"Residual norm after reference pass: "
               f"{solver.residual_norm(x, rhs):.6e}")
+    elif args.accel == "pcg":
+        x, iters, rel = solver.solve_pcg(rhs, tol=args.tol, maxit=args.maxit)
+        print(f"AMG-PCG iterations: {iters}, relative residual {rel:.3e}")
+        if rel > args.tol:
+            print("Warning: not converged")
     else:
         x, iters, rel = solver.solve(rhs, tol=args.tol, maxit=args.maxit)
         print(f"V-cycle iterations: {iters}, relative residual {rel:.3e}")

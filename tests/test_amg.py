@@ -152,6 +152,21 @@ def test_reference_sawtooth_pass_reduces_residual():
     assert r1 < 0.15 * r0, (r0, r1)
 
 
+def test_chebyshev_smoother_and_pcg():
+    """Chebyshev smoothing + AMG-PCG: the TPU-native acceleration pair."""
+    mesh = structured_unit_square_mesh(17)
+    A, rhs = assemble_p1(mesh)
+    solver = AMGSolver(A, num_levels=3, smoother="chebyshev")
+    assert solver.levels[0].lmax > 0.5  # power-iteration estimate exists
+    x, iters, rel = solver.solve(rhs, tol=1e-10, maxit=200)
+    assert rel <= 1e-10
+    xg, it_pcg, rel_pcg = solver.solve_pcg(rhs, tol=1e-10, maxit=100)
+    assert rel_pcg <= 1e-10
+    assert it_pcg < iters  # acceleration must actually accelerate
+    want = np.linalg.solve(A.to_dense(), rhs)
+    np.testing.assert_allclose(np.asarray(xg), want, rtol=1e-6, atol=1e-9)
+
+
 def test_operator_complexity_reasonable():
     A = fd_poisson(20)
     solver = AMGSolver(A, num_levels=4)
