@@ -59,7 +59,11 @@ def main(argv=None) -> int:
         cycle=cfg.cycle,
         tol=tol,
         maxit=cfg.maxit,
+        pad_align=cfg.pad or None,
     )
+    if solver.levels[0].padded_shape is not None:
+        print(f"Aligned layout: logical {solver.levels[0].shape} in "
+              f"padded {solver.levels[0].padded_shape}")
     b = assemble_rhs(solver.levels[0], cfg.width, test=cfg.test,
                      dtype=jnp.dtype(dtype))
     jax.block_until_ready(b)

@@ -44,12 +44,16 @@ from multigrid_prj_tpu.ops.residual import norm2, rel_residual_norm
 from multigrid_prj_tpu.ops.smoothers import make_smoother
 from multigrid_prj_tpu.ops.stencil import poisson_residual
 from multigrid_prj_tpu.ops.transfer import (
+    crop_to,
+    pad_to,
     prolong,
+    prolong_padded,
     restrict_full_weighting,
+    restrict_fw_padded,
     restrict_inject,
 )
 
-Smoother = Callable[..., jax.Array]  # (u, b, alpha, h, sweeps) -> u
+Smoother = Callable[..., jax.Array]  # (u, b, alpha, h, sweeps, logical_shape)
 
 
 def stationary_solve(
@@ -61,6 +65,7 @@ def stationary_solve(
     tol: float,
     maxit: int,
     sweeps_per_check: int = 1,
+    logical_shape=None,
 ):
     """Iterate ``smoother`` on ``A e = b`` until ``||b - A e|| <= tol ||b||``.
 
@@ -76,13 +81,39 @@ def stationary_solve(
 
     def body(state):
         e, k, _ = state
-        e = smoother(e, b, alpha, h, sweeps_per_check)
-        rn2 = norm2(poisson_residual(e, b, alpha, h))
+        e = smoother(e, b, alpha, h, sweeps_per_check,
+                     logical_shape=logical_shape)
+        rn2 = norm2(poisson_residual(e, b, alpha, h, logical_shape))
         return e, k + 1, rn2
 
     e, k, rn2 = lax.while_loop(cond, body, (e0, jnp.int32(0), b2))
     rel = jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
     return e, k, rel
+
+
+def _logical(lev: GridLevel):
+    """logical_shape argument for masked ops: None in the exact layout."""
+    return lev.shape if lev.padded_shape is not None else None
+
+
+def restrict_level(r: jax.Array, lev: GridLevel, nxt: GridLevel,
+                   exact_restrict=restrict_full_weighting) -> jax.Array:
+    """Restriction honoring each level's layout (padded halving or exact)."""
+    if lev.padded_shape is not None:
+        rc = restrict_fw_padded(r, lev.shape)
+        if nxt.padded_shape is None:
+            rc = crop_to(rc, nxt.shape)
+        return rc
+    return exact_restrict(r)
+
+
+def prolong_level(e: jax.Array, nxt: GridLevel, lev: GridLevel) -> jax.Array:
+    """Prolongation from level ``nxt`` (coarse) up to ``lev`` (fine)."""
+    if lev.padded_shape is not None:
+        if nxt.padded_shape is None:
+            e = pad_to(e, tuple(p // 2 for p in lev.padded_shape))
+        return prolong_padded(e)
+    return prolong(e, lev.shape)
 
 
 def sawtooth_cycle(
@@ -110,19 +141,21 @@ def sawtooth_cycle(
     iterations to 1e-11).  Pass ``restrict=restrict_inject`` for the strict
     structural-compat mode (SURVEY.md §7.4.7).
     """
-    r = poisson_residual(u, b, alpha, levels[0].h)
+    r = poisson_residual(u, b, alpha, levels[0].h, _logical(levels[0]))
     rs = [r]
-    for lev in levels[1:]:
-        rc = restrict(rs[-1])
-        assert rc.shape == lev.shape, (rc.shape, lev.shape)
+    for j, lev in enumerate(levels[1:], start=1):
+        rc = restrict_level(rs[-1], levels[j - 1], lev, exact_restrict=restrict)
+        assert rc.shape == lev.physical, (rc.shape, lev.physical)
         rs.append(rc)
     e = jnp.zeros_like(rs[-1])
     e, _, _ = stationary_solve(
-        e, rs[-1], alpha, levels[-1].h, smoother, coarse_tol, coarse_maxit
+        e, rs[-1], alpha, levels[-1].h, smoother, coarse_tol, coarse_maxit,
+        logical_shape=_logical(levels[-1]),
     )
     for j in range(len(levels) - 2, -1, -1):
-        e = prolong(e, levels[j].shape)
-        e = smoother(e, rs[j], alpha, levels[j].h, nu)
+        e = prolong_level(e, levels[j + 1], levels[j])
+        e = smoother(e, rs[j], alpha, levels[j].h, nu,
+                     logical_shape=_logical(levels[j]))
     return u + e
 
 
@@ -140,12 +173,14 @@ def v_cycle(
     _level: int = 0,
 ) -> jax.Array:
     """Standard correction-scheme V-cycle (``gamma = 2`` gives the W-cycle)."""
-    h = levels[_level].h
+    lev = levels[_level]
+    h = lev.h
+    logical = _logical(lev)
     if _level == len(levels) - 1:
-        return smoother(u, b, alpha, h, coarse_sweeps)
-    u = smoother(u, b, alpha, h, nu1)
-    r = poisson_residual(u, b, alpha, h)
-    rc = restrict(r)
+        return smoother(u, b, alpha, h, coarse_sweeps, logical_shape=logical)
+    u = smoother(u, b, alpha, h, nu1, logical_shape=logical)
+    r = poisson_residual(u, b, alpha, h, logical)
+    rc = restrict_level(r, lev, levels[_level + 1], exact_restrict=restrict)
     ec = jnp.zeros_like(rc)
     for _ in range(gamma):
         ec = v_cycle(
@@ -153,8 +188,8 @@ def v_cycle(
             nu1=nu1, nu2=nu2, coarse_sweeps=coarse_sweeps,
             restrict=restrict, gamma=gamma, _level=_level + 1,
         )
-    u = u + prolong(ec, levels[_level].shape)
-    u = smoother(u, b, alpha, h, nu2)
+    u = u + prolong_level(ec, levels[_level + 1], lev)
+    u = smoother(u, b, alpha, h, nu2, logical_shape=logical)
     return u
 
 
@@ -174,12 +209,13 @@ def fmg(
 ) -> jax.Array:
     """Full multigrid: coarsest-first nested iteration, then V-cycles per level."""
     bs = [b]
-    for _ in levels[1:]:
-        bs.append(restrict(bs[-1]))
+    for j, lev in enumerate(levels[1:], start=1):
+        bs.append(restrict_level(bs[-1], levels[j - 1], lev,
+                                 exact_restrict=restrict))
     u = jnp.zeros_like(bs[-1])
     for j in range(len(levels) - 1, -1, -1):
         if j < len(levels) - 1:
-            u = prolong(u, levels[j].shape)
+            u = prolong_level(u, levels[j + 1], levels[j])
         for _ in range(n_vcycles):
             u = v_cycle(u, bs[j], levels[j:], alpha, smoother, restrict=restrict, **vkw)
     return u
@@ -233,11 +269,21 @@ class GMGSolver:
         coarse_tol: float = 1e-1,
         coarse_maxit: int = 2000,
         smoother_dtype=None,
+        pad_align: int | None = None,
+        use_pallas: bool | None = None,
     ):
         """``smoother_dtype``: run smoothing sweeps in a lower precision
         (e.g. ``jnp.bfloat16``) while residuals/corrections stay in the
-        outer dtype — the mixed-precision mode of BASELINE.json config 4."""
-        self.levels = build_hierarchy(shape, length, num_levels)
+        outer dtype — the mixed-precision mode of BASELINE.json config 4.
+
+        ``pad_align``: store levels in tile-aligned padded buffers (e.g. 256)
+        so the odd-size quality hierarchy runs through the Pallas kernels
+        and sharded layouts.  ``use_pallas``: route smoothing through the
+        fused Pallas kernels (default: on non-CPU backends; per-shape
+        fallback to XLA is automatic).
+        """
+        self.levels = build_hierarchy(shape, length, num_levels,
+                                      pad_align=pad_align)
         self.alpha = float(alpha)
         self.length = float(length)
         self.tol = float(tol)
@@ -248,7 +294,26 @@ class GMGSolver:
         self.coarse_tol = float(coarse_tol)
         self.coarse_maxit = int(coarse_maxit)
         self.smoother = make_smoother(smoother, omega=omega)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
+        if use_pallas and smoother in ("gs", "jacobi"):
+            from multigrid_prj_tpu.ops import pallas_stencil as _ps
+
+            if smoother == "gs":
+                def _sm(u, b, alpha, h, sweeps=1, logical_shape=None):
+                    return _ps.red_black_gauss_seidel(
+                        u, b, alpha, h, sweeps=sweeps, omega=omega,
+                        logical_shape=logical_shape)
+            else:
+                def _sm(u, b, alpha, h, sweeps=1, logical_shape=None):
+                    return _ps.jacobi(u, b, alpha, h, omega=omega,
+                                      sweeps=sweeps,
+                                      logical_shape=logical_shape)
+
+            self.smoother = _sm
         self.smoother_dtype = smoother_dtype
+        self._logical0 = (self.levels[0].shape
+                          if self.levels[0].padded_shape is not None else None)
         self._jit_solve = jax.jit(self._solve_impl)
 
     def _cycle(self, u, b):
@@ -279,22 +344,26 @@ class GMGSolver:
         """
         h0 = self.levels[0].h
         if self.smoother_dtype is not None:
-            r = poisson_residual(u, b, self.alpha, h0)
+            r = poisson_residual(u, b, self.alpha, h0, self._logical0)
             e = jnp.zeros_like(r, dtype=self.smoother_dtype)
             rl = r.astype(self.smoother_dtype)
             if self.cycle == "sawtooth":
-                e = self.smoother(e, rl, self.alpha, h0, self.pre_sweeps)
+                e = self.smoother(e, rl, self.alpha, h0, self.pre_sweeps,
+                                  logical_shape=self._logical0)
             e = self._cycle(e, rl)
             return u + e.astype(u.dtype)
         if self.cycle == "sawtooth":
-            u = self.smoother(u, b, self.alpha, h0, self.pre_sweeps)
+            u = self.smoother(u, b, self.alpha, h0, self.pre_sweeps,
+                              logical_shape=self._logical0)
         return self._cycle(u, b)
 
     def _solve_impl(self, u, b):
         h0 = self.levels[0].h
         dtype = b.dtype
         hist = jnp.full((self.maxit + 1,), jnp.nan, dtype=dtype)
-        hist = hist.at[0].set(rel_residual_norm(u, b, self.alpha, h0))
+        hist = hist.at[0].set(
+            rel_residual_norm(u, b, self.alpha, h0, self._logical0)
+        )
 
         def cond(state):
             _, k, hist = state
@@ -303,7 +372,7 @@ class GMGSolver:
         def body(state):
             u, k, hist = state
             u = self.step(u, b)
-            rn = rel_residual_norm(u, b, self.alpha, h0)
+            rn = rel_residual_norm(u, b, self.alpha, h0, self._logical0)
             hist = hist.at[k + 1].set(rn)
             return u, k + 1, hist
 
@@ -311,9 +380,23 @@ class GMGSolver:
         return u, k, hist
 
     def solve(self, b: jax.Array, u0: jax.Array | None = None) -> SolveResult:
+        """Solve to tolerance.  ``b`` (and ``u0``) are LOGICAL-shape arrays;
+        padding in the aligned layout is handled internally and the returned
+        solution is cropped back to the logical grid."""
+        lev0 = self.levels[0]
+        if lev0.padded_shape is not None and tuple(b.shape) == lev0.shape:
+            from multigrid_prj_tpu.ops.transfer import crop_to, pad_to
+
+            b = pad_to(b, lev0.padded_shape)
+            if u0 is not None and tuple(u0.shape) == lev0.shape:
+                u0 = pad_to(u0, lev0.padded_shape)
         if u0 is None:
             u0 = jnp.zeros_like(b)
         u, k, hist = self._jit_solve(u0, b)
+        if lev0.padded_shape is not None:
+            from multigrid_prj_tpu.ops.transfer import crop_to
+
+            u = crop_to(u, lev0.shape)
         k = int(k)
         hist_np = hist[: k + 1]
         return SolveResult(

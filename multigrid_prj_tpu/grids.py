@@ -24,21 +24,30 @@ class GridLevel:
     """One level of a structured-grid hierarchy.
 
     Attributes:
-      shape: node counts per axis, e.g. ``(n, n)`` for 2D, ``(n, n, n)`` for 3D.
+      shape: LOGICAL node counts per axis, e.g. ``(n, n)`` for 2D.
       h: grid spacing at this level.  Matches the reference's
         ``SquareDomain::h() = m_h * step`` (``domain.hpp:90``): the finest
         spacing times ``2^level`` — independent of rounding in the coarse
         node count.
       level: 0 = finest.
+      padded_shape: physical buffer shape for the tile-aligned layout
+        (``None`` = arrays are exactly ``shape``).  The live grid occupies
+        ``[0, shape)``; the dead zone holds zeros pinned by the masked
+        operators (see ``ops/transfer.py`` aligned-layout notes).
     """
 
     shape: Tuple[int, ...]
     h: float
     level: int
+    padded_shape: Tuple[int, ...] | None = None
 
     @property
     def ndim(self) -> int:
         return len(self.shape)
+
+    @property
+    def physical(self) -> Tuple[int, ...]:
+        return self.padded_shape if self.padded_shape is not None else self.shape
 
     @property
     def num_nodes(self) -> int:
@@ -64,11 +73,18 @@ def build_hierarchy(
     length: float,
     num_levels: int,
     min_size: int = 3,
+    pad_align: int | None = None,
 ) -> list[GridLevel]:
     """Build the level metadata list, finest first.
 
     Mirrors ``main.cpp:32-35`` (one ``SquareDomain`` per level).  Raises if a
     requested level would drop below ``min_size`` nodes per axis.
+
+    ``pad_align``: enable the tile-aligned layout — the finest physical
+    buffer rounds ``n + 1`` up to a multiple of ``pad_align`` (e.g. 256 for
+    Pallas (8, 128) tiling with headroom), and each coarser padded buffer is
+    exactly half, until the slack runs out (``P < n + 1``) after which levels
+    store exact (unpadded) arrays.
     """
     shape = tuple(int(s) for s in shape)
     if any(s < 2 for s in shape):
@@ -76,7 +92,19 @@ def build_hierarchy(
     if num_levels < 1:
         raise ValueError("num_levels must be >= 1")
     h0 = float(length) / (shape[0] - 1)
-    levels = [GridLevel(shape=shape, h=h0, level=0)]
+
+    padded: Tuple[int, ...] | None = None
+    if pad_align is not None:
+        padded = tuple(-((-(s + 1)) // pad_align) * pad_align for s in shape)
+
+    def check(pp, lshape):
+        # a padded level needs headroom (P >= n + 1) and halvability
+        if pp is None or any(p < s + 1 or p % 2 for p, s in zip(pp, lshape)):
+            return None
+        return pp
+
+    padded = check(padded, shape)
+    levels = [GridLevel(shape=shape, h=h0, level=0, padded_shape=padded)]
     for l in range(1, num_levels):
         cshape = coarsen_shape(levels[-1].shape)
         if min(cshape) < min_size:
@@ -84,7 +112,13 @@ def build_hierarchy(
                 f"level {l} would have shape {cshape}; grid {shape} supports "
                 f"fewer than {num_levels} levels (min coarse size {min_size})"
             )
-        levels.append(GridLevel(shape=cshape, h=h0 * (2**l), level=l))
+        # once a level drops to the exact layout, all deeper levels do too
+        padded = check(
+            None if padded is None else tuple(p // 2 for p in padded), cshape
+        )
+        levels.append(
+            GridLevel(shape=cshape, h=h0 * (2**l), level=l, padded_shape=padded)
+        )
     return levels
 
 

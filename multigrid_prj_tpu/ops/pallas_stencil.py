@@ -72,11 +72,15 @@ def _edge_specs(n: int, m: int, r: int):
     return center, north, south
 
 
-def _masks(i, r, n, m, dtype=jnp.float32):
-    """(boundary, interior) masks for the (r, m) block starting at row i*r."""
+def _masks(i, r, m, nl, ml):
+    """Dirichlet mask for the (r, m) block starting at row i*r.
+
+    ``nl, ml`` are LOGICAL extents (== physical for unpadded arrays); rows
+    and columns at or beyond ``logical - 1`` are boundary, which pins the
+    padded dead zone to identity rows (aligned-layout invariant)."""
     row = i * r + jax.lax.broadcasted_iota(jnp.int32, (r, m), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1)
-    boundary = (row == 0) | (row == n - 1) | (col == 0) | (col == m - 1)
+    boundary = (row == 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
     return boundary
 
 
@@ -92,54 +96,58 @@ def _neighbor_tiles(cur, north_blk, south_blk):
     return north, south, east, west
 
 
-def _apply_kernel(u_ref, un_ref, us_ref, out_ref, *, c, n, m, r):
+def _apply_kernel(u_ref, un_ref, us_ref, out_ref, *, c, m, r, nl, ml):
     i = pl.program_id(0)
     cur = u_ref[:]
     north, south, east, west = _neighbor_tiles(cur, un_ref[:], us_ref[:])
     stencil = c * (4.0 * cur - north - south - east - west)
-    out_ref[:] = jnp.where(_masks(i, r, n, m), cur, stencil)
+    out_ref[:] = jnp.where(_masks(i, r, m, nl, ml), cur, stencil)
 
 
-def _residual_kernel(u_ref, un_ref, us_ref, b_ref, out_ref, *, c, n, m, r):
+def _residual_kernel(u_ref, un_ref, us_ref, b_ref, out_ref, *, c, m, r, nl, ml):
     i = pl.program_id(0)
     cur = u_ref[:]
     north, south, east, west = _neighbor_tiles(cur, un_ref[:], us_ref[:])
     stencil = c * (4.0 * cur - north - south - east - west)
-    out_ref[:] = b_ref[:] - jnp.where(_masks(i, r, n, m), cur, stencil)
+    out_ref[:] = b_ref[:] - jnp.where(_masks(i, r, m, nl, ml), cur, stencil)
 
 
-def _rbgs_color_kernel(u_ref, un_ref, us_ref, b_ref, out_ref, *, c, n, m, r, color):
+def _rbgs_color_kernel(u_ref, un_ref, us_ref, b_ref, out_ref, *, c, m, r, nl,
+                       ml, color):
     i = pl.program_id(0)
     cur = u_ref[:]
     north, south, east, west = _neighbor_tiles(cur, un_ref[:], us_ref[:])
     gs = (b_ref[:] / c + north + south + east + west) * 0.25
     row = i * r + jax.lax.broadcasted_iota(jnp.int32, (r, m), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1)
-    boundary = (row == 0) | (row == n - 1) | (col == 0) | (col == m - 1)
+    boundary = (row == 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
     this_color = ((row + col) % 2) == color
     out = jnp.where(this_color & ~boundary, gs, cur)
     out_ref[:] = jnp.where(boundary, b_ref[:], out)
 
 
-def _jacobi_kernel(u_ref, un_ref, us_ref, b_ref, out_ref, *, c, n, m, r, omega):
+def _jacobi_kernel(u_ref, un_ref, us_ref, b_ref, out_ref, *, c, m, r, nl, ml,
+                   omega):
     i = pl.program_id(0)
     cur = u_ref[:]
     north, south, east, west = _neighbor_tiles(cur, un_ref[:], us_ref[:])
     jac = (b_ref[:] / c + north + south + east + west) * 0.25
     if omega != 1.0:
         jac = (1.0 - omega) * cur + omega * jac
-    boundary = _masks(i, r, n, m)
+    boundary = _masks(i, r, m, nl, ml)
     out_ref[:] = jnp.where(boundary, b_ref[:], jac)
 
 
-def _call(kernel, u, extra_inputs, n, m, r, **kw):
+def _call(kernel, u, extra_inputs, n, m, r, logical_shape=None, **kw):
+    nl, ml = (int(logical_shape[0]), int(logical_shape[1])) \
+        if logical_shape is not None else (n, m)
     grid = (n // r,)
     center, north, south = _edge_specs(n, m, r)
     in_specs = [center, north, south] + [center] * len(extra_inputs)
     flops = 6 * n * m
     bytes_accessed = (2 + len(extra_inputs)) * 4 * n * m
     return pl.pallas_call(
-        functools.partial(kernel, n=n, m=m, r=r, **kw),
+        functools.partial(kernel, m=m, r=r, nl=nl, ml=ml, **kw),
         out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -155,34 +163,40 @@ def _call(kernel, u, extra_inputs, n, m, r, **kw):
 # ---------------------------------------------------------------------------
 
 
-def poisson_apply(u: jax.Array, alpha: float, h: float) -> jax.Array:
+def poisson_apply(u: jax.Array, alpha: float, h: float,
+                  logical_shape=None) -> jax.Array:
     """Fused ``y = A u`` (identity at Dirichlet rows)."""
     if not _is_supported(u.shape, u.dtype):
-        return _xla.poisson_apply(u, alpha, h)
+        return _xla.poisson_apply(u, alpha, h, logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    return _call(_apply_kernel, u, (), n, m, _BLOCK_ROWS, c=c)
+    return _call(_apply_kernel, u, (), n, m, _BLOCK_ROWS,
+                 logical_shape=logical_shape, c=c)
 
 
-def poisson_residual(u: jax.Array, b: jax.Array, alpha: float, h: float) -> jax.Array:
+def poisson_residual(u: jax.Array, b: jax.Array, alpha: float, h: float,
+                     logical_shape=None) -> jax.Array:
     """Fused ``r = b - A u``."""
     if not _is_supported(u.shape, u.dtype):
-        return _xla.poisson_residual(u, b, alpha, h)
+        return _xla.poisson_residual(u, b, alpha, h, logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    return _call(_residual_kernel, u, (b,), n, m, _BLOCK_ROWS, c=c)
+    return _call(_residual_kernel, u, (b,), n, m, _BLOCK_ROWS,
+                 logical_shape=logical_shape, c=c)
 
 
-def rbgs_color_sweep(u, b, alpha, h, color: int):
+def rbgs_color_sweep(u, b, alpha, h, color: int, logical_shape=None):
     """One red or black half-sweep of Gauss-Seidel."""
     if not _is_supported(u.shape, u.dtype):
         raise ValueError(f"unsupported shape {u.shape} for pallas RB-GS")
     n, m = u.shape
     c = alpha / (h * h)
-    return _call(_rbgs_color_kernel, u, (b,), n, m, _BLOCK_ROWS, c=c, color=color)
+    return _call(_rbgs_color_kernel, u, (b,), n, m, _BLOCK_ROWS,
+                 logical_shape=logical_shape, c=c, color=color)
 
 
-def red_black_gauss_seidel(u, b, alpha, h, sweeps: int = 1, omega: float = 1.0):
+def red_black_gauss_seidel(u, b, alpha, h, sweeps: int = 1, omega: float = 1.0,
+                           logical_shape=None):
     """RB-GS sweeps via two fused color kernels per sweep.
 
     ``omega`` is accepted for API parity with the XLA smoother but only
@@ -191,11 +205,13 @@ def red_black_gauss_seidel(u, b, alpha, h, sweeps: int = 1, omega: float = 1.0):
     if omega != 1.0 or not _is_supported(u.shape, u.dtype):
         from multigrid_prj_tpu.ops import smoothers as _sm
 
-        return _sm.red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps, omega=omega)
+        return _sm.red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps,
+                                          omega=omega,
+                                          logical_shape=logical_shape)
 
     def one_sweep(u):
-        u = rbgs_color_sweep(u, b, alpha, h, 0)
-        return rbgs_color_sweep(u, b, alpha, h, 1)
+        u = rbgs_color_sweep(u, b, alpha, h, 0, logical_shape)
+        return rbgs_color_sweep(u, b, alpha, h, 1, logical_shape)
 
     if sweeps <= 8:
         for _ in range(sweeps):
@@ -204,17 +220,20 @@ def red_black_gauss_seidel(u, b, alpha, h, sweeps: int = 1, omega: float = 1.0):
     return jax.lax.fori_loop(0, sweeps, lambda _, v: one_sweep(v), u)
 
 
-def jacobi(u, b, alpha, h, omega: float = 1.0, sweeps: int = 1):
+def jacobi(u, b, alpha, h, omega: float = 1.0, sweeps: int = 1,
+           logical_shape=None):
     """Fused damped-Jacobi sweeps."""
     if not _is_supported(u.shape, u.dtype):
         from multigrid_prj_tpu.ops import smoothers as _sm
 
-        return _sm.jacobi(u, b, alpha, h, omega=omega, sweeps=sweeps)
+        return _sm.jacobi(u, b, alpha, h, omega=omega, sweeps=sweeps,
+                          logical_shape=logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
 
     def one_sweep(u):
-        return _call(_jacobi_kernel, u, (b,), n, m, _BLOCK_ROWS, c=c, omega=omega)
+        return _call(_jacobi_kernel, u, (b,), n, m, _BLOCK_ROWS,
+                     logical_shape=logical_shape, c=c, omega=omega)
 
     if sweeps <= 8:
         for _ in range(sweeps):

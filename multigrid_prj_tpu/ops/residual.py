@@ -20,7 +20,8 @@ def norm2(x: jax.Array) -> jax.Array:
     return jnp.sum(x * x)
 
 
-def rel_residual_norm(u: jax.Array, b: jax.Array, alpha: float, h: float) -> jax.Array:
+def rel_residual_norm(u: jax.Array, b: jax.Array, alpha: float, h: float,
+                      logical_shape=None) -> jax.Array:
     """``||b - A u||_2 / ||b||_2`` (``solvers.hpp:305-307``)."""
-    r = poisson_residual(u, b, alpha, h)
+    r = poisson_residual(u, b, alpha, h, logical_shape)
     return jnp.sqrt(norm2(r) / norm2(b))

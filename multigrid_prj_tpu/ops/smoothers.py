@@ -44,6 +44,7 @@ def jacobi(
     h: float,
     omega: float = 1.0,
     sweeps: int = 1,
+    logical_shape=None,
 ) -> jax.Array:
     """``sweeps`` damped-Jacobi sweeps on ``A u = b``.
 
@@ -52,7 +53,7 @@ def jacobi(
     """
     c = alpha / (h * h)
     denom = 2.0 * u.ndim
-    bmask = boundary_mask(u.shape)
+    bmask = boundary_mask(u.shape, logical_shape)
     b_over_c = b / c
 
     def one_sweep(u):
@@ -71,6 +72,7 @@ def red_black_gauss_seidel(
     h: float,
     sweeps: int = 1,
     omega: float = 1.0,
+    logical_shape=None,
 ) -> jax.Array:
     """``sweeps`` red-black Gauss-Seidel sweeps on ``A u = b``.
 
@@ -82,7 +84,7 @@ def red_black_gauss_seidel(
     c = alpha / (h * h)
     denom = 2.0 * u.ndim
     shape = u.shape
-    bmask = boundary_mask(shape)
+    bmask = boundary_mask(shape, logical_shape)
     parity = None
     for ax in range(u.ndim):
         idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
@@ -113,15 +115,18 @@ def make_smoother(name: str, **kw):
     if name in ("gs", "gauss_seidel", "rbgs", "red_black"):
         omega = kw.get("omega", 1.0)
 
-        def f(u, b, alpha, h, sweeps=1):
-            return red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps, omega=omega)
+        def f(u, b, alpha, h, sweeps=1, logical_shape=None):
+            return red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps,
+                                          omega=omega,
+                                          logical_shape=logical_shape)
 
         return f
     if name == "jacobi":
         omega = kw.get("omega", 1.0)
 
-        def f(u, b, alpha, h, sweeps=1):
-            return jacobi(u, b, alpha, h, omega=omega, sweeps=sweeps)
+        def f(u, b, alpha, h, sweeps=1, logical_shape=None):
+            return jacobi(u, b, alpha, h, omega=omega, sweeps=sweeps,
+                          logical_shape=logical_shape)
 
         return f
     raise ValueError(f"unknown smoother {name!r}")

@@ -24,15 +24,22 @@ import jax
 import jax.numpy as jnp
 
 
-def boundary_mask(shape: tuple[int, ...]) -> jax.Array:
+def boundary_mask(shape: tuple[int, ...], logical_shape=None) -> jax.Array:
     """Boolean mask of Dirichlet boundary nodes (any index 0 or n-1).
 
     Matches ``SquareDomain::isOnBoundary`` (``domain.cpp:20-23``).
+
+    ``logical_shape``: when the array is a tile-aligned padded buffer, the
+    live grid occupies ``[0, logical)`` per axis; indices at or beyond
+    ``logical - 1`` are treated as boundary, which pins the entire dead zone
+    to identity rows (the aligned-layout invariant: dead values stay at
+    ``b``, which is zero there).
     """
+    logical = tuple(logical_shape) if logical_shape is not None else shape
     m = None
     for ax, n in enumerate(shape):
         idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
-        edge = (idx == 0) | (idx == n - 1)
+        edge = (idx == 0) | (idx >= logical[ax] - 1)
         m = edge if m is None else (m | edge)
     return m
 
@@ -78,7 +85,8 @@ def poisson_diag(ndim: int, alpha: float, h: float) -> float:
     return 2.0 * ndim * alpha / (h * h)
 
 
-def poisson_apply(u: jax.Array, alpha: float, h: float) -> jax.Array:
+def poisson_apply(u: jax.Array, alpha: float, h: float,
+                  logical_shape=None) -> jax.Array:
     """``y = A u`` for the Dirichlet Poisson operator.
 
     Boundary rows: ``y = u`` (identity).  Interior:
@@ -86,16 +94,17 @@ def poisson_apply(u: jax.Array, alpha: float, h: float) -> jax.Array:
     """
     c = alpha / (h * h)
     interior = c * (2.0 * u.ndim * u - neighbor_sum(u))
-    return jnp.where(boundary_mask(u.shape), u, interior)
+    return jnp.where(boundary_mask(u.shape, logical_shape), u, interior)
 
 
-def poisson_residual(u: jax.Array, b: jax.Array, alpha: float, h: float) -> jax.Array:
+def poisson_residual(u: jax.Array, b: jax.Array, alpha: float, h: float,
+                     logical_shape=None) -> jax.Array:
     """``r = b - A u`` including boundary rows (``r = b - u`` there).
 
     Matches the reference ``Residual`` masked computation
     (``solvers.hpp:257-295``).
     """
-    return b - poisson_apply(u, alpha, h)
+    return b - poisson_apply(u, alpha, h, logical_shape)
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "h"))

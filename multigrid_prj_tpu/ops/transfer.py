@@ -133,3 +133,82 @@ def prolong(e: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
     for ax, target in enumerate(fine_shape):
         e = _refine_axis(e, ax, int(target))
     return e
+
+
+# ---------------------------------------------------------------------------
+# Aligned (padded) layout: logical 2^k+1 grids in tile-aligned buffers.
+#
+# The live grid occupies [0, n) per axis of a larger physical array whose
+# trailing "dead zone" holds zeros and is pinned to identity rows by every
+# masked operator (ops/stencil.boundary_mask with logical_shape).  Transfer
+# operators below preserve the invariant: the coarse buffer is exactly half
+# the fine buffer per axis, coarse dead entries are written as zeros, and
+# prolongation emits zeros into the fine dead zone (given zero coarse dead
+# entries).  This gives the odd-size convergence quality (true boundary
+# alignment at every level) in buffers that satisfy Pallas/sharding tiling.
+# ---------------------------------------------------------------------------
+
+
+def _shift_axis(a: jax.Array, axis: int, offset: int) -> jax.Array:
+    sl = [slice(None)] * a.ndim
+    pad = [(0, 0)] * a.ndim
+    if offset == +1:
+        sl[axis] = slice(1, None)
+        pad[axis] = (0, 1)
+    else:
+        sl[axis] = slice(None, -1)
+        pad[axis] = (1, 0)
+    return jnp.pad(a[tuple(sl)], pad)
+
+
+def restrict_fw_padded(r: jax.Array, logical_shape) -> jax.Array:
+    """Full weighting, padded layout: fine physical ``P`` -> coarse ``P/2``.
+
+    Per axis: coarse k <- [1/4, 1/2, 1/4] at fine 2k; edge coarse rows
+    (k == 0 and k == nc-1, both on the true Dirichlet boundary for odd
+    logical n) are injected; dead rows (k >= nc) zeroed.
+    """
+    logical = tuple(logical_shape)
+    for ax, n in enumerate(logical):
+        nc = (n + 1) // 2
+        filtered = (
+            0.25 * _shift_axis(r, ax, -1) + 0.5 * r + 0.25 * _shift_axis(r, ax, +1)
+        )
+        sl = [slice(None)] * r.ndim
+        sl[ax] = slice(None, None, 2)
+        samp_f = filtered[tuple(sl)]
+        samp_i = r[tuple(sl)]
+        k = jax.lax.broadcasted_iota(jnp.int32, samp_f.shape, ax)
+        out = jnp.where((k == 0) | (k == nc - 1), samp_i, samp_f)
+        r = jnp.where(k >= nc, 0.0, out)
+    return r
+
+
+def prolong_padded(e: jax.Array) -> jax.Array:
+    """Linear prolongation, padded layout: coarse physical ``P`` -> ``2 P``.
+
+    Fine 2k <- coarse k, fine 2k+1 <- average of coarse k, k+1.  Zero coarse
+    dead entries produce zeros in the fine dead zone (for odd logical n the
+    last live fine row 2(nc-1) lands exactly on coarse nc-1).
+    """
+    for ax in range(e.ndim):
+        nxt = _shift_axis(e, ax, +1)
+        mid = 0.5 * (e + nxt)
+        stacked = jnp.stack([e, mid], axis=ax + 1)
+        new_shape = list(e.shape)
+        new_shape[ax] = 2 * e.shape[ax]
+        e = stacked.reshape(new_shape)
+    return e
+
+
+def crop_to(a: jax.Array, shape) -> jax.Array:
+    """Slice the leading ``shape`` region out of a padded buffer."""
+    return a[tuple(slice(0, int(s)) for s in shape)]
+
+
+def pad_to(a: jax.Array, shape) -> jax.Array:
+    """Zero-pad ``a`` up to physical ``shape``."""
+    pads = [(0, int(t) - s) for s, t in zip(a.shape, shape)]
+    if any(p[1] < 0 for p in pads):
+        raise ValueError(f"cannot pad {a.shape} to smaller {tuple(shape)}")
+    return jnp.pad(a, pads)

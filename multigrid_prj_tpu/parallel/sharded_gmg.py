@@ -245,6 +245,14 @@ class ShardedGMGSolver:
                 out_specs=(P(AXIS, None), P(), P()),
             )
         )
+        self._jit_step = jax.jit(
+            jax.shard_map(
+                lambda u, b: self._v_local(u, b, 0),
+                mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS, None)),
+                out_specs=P(AXIS, None),
+            )
+        )
 
     # -- sharded V-cycle -----------------------------------------------------
 
@@ -314,12 +322,4 @@ class ShardedGMGSolver:
 
     def step(self, u: jax.Array, b: jax.Array) -> jax.Array:
         """One sharded V-cycle (for benchmarking / the multi-chip dryrun)."""
-        f = jax.jit(
-            jax.shard_map(
-                lambda u, b: self._v_local(u, b, 0),
-                mesh=self.mesh,
-                in_specs=(P(AXIS, None), P(AXIS, None)),
-                out_specs=P(AXIS, None),
-            )
-        )
-        return f(u, b)
+        return self._jit_step(u, b)

@@ -44,6 +44,7 @@ class GMGConfig:
     tol: float = 1e-11
     maxit: int = 1000
     dtype: str = "auto"  # auto: f64 when x64 is enabled, else f32
+    pad: int = 0  # tile-aligned padded layout (e.g. 256); 0 = exact layout
 
     @property
     def smoother_name(self) -> str:
@@ -126,6 +127,9 @@ def parse_gmg_args(argv: list[str]) -> GMGConfig:
             i += 2
         elif tok == "-tol" and has_next:
             cfg.tol = _float("-tol")
+            i += 2
+        elif tok == "-pad" and has_next:
+            cfg.pad = _int("-pad")
             i += 2
         elif tok == "-n" or tok in ("-a", "-w", "-ml", "-test", "-smt"):
             _fail("Error: Please, insert something")
