@@ -345,17 +345,22 @@ class GMGSolver:
         h0 = self.levels[0].h
         if self.smoother_dtype is not None:
             r = poisson_residual(u, b, self.alpha, h0, self._logical0)
-            e = jnp.zeros_like(r, dtype=self.smoother_dtype)
-            rl = r.astype(self.smoother_dtype)
-            if self.cycle == "sawtooth":
-                e = self.smoother(e, rl, self.alpha, h0, self.pre_sweeps,
-                                  logical_shape=self._logical0)
-            e = self._cycle(e, rl)
+            e = self._error_cycle(r.astype(self.smoother_dtype))
             return u + e.astype(u.dtype)
         if self.cycle == "sawtooth":
             u = self.smoother(u, b, self.alpha, h0, self.pre_sweeps,
                               logical_shape=self._logical0)
         return self._cycle(u, b)
+
+    def _error_cycle(self, r):
+        """One cycle applied to the error equation ``A e = r`` from ``e = 0``
+        (the defect-correction inner solve used by the mixed-precision and
+        extended-precision outer loops)."""
+        e = jnp.zeros_like(r)
+        if self.cycle == "sawtooth":
+            e = self.smoother(e, r, self.alpha, self.levels[0].h,
+                              self.pre_sweeps, logical_shape=self._logical0)
+        return self._cycle(e, r)
 
     def _solve_impl(self, u, b):
         h0 = self.levels[0].h
@@ -379,10 +384,89 @@ class GMGSolver:
         u, k, hist = lax.while_loop(cond, body, (u, jnp.int32(0), hist))
         return u, k, hist
 
-    def solve(self, b: jax.Array, u0: jax.Array | None = None) -> SolveResult:
+    def _solve_impl_ff(self, u_hi, u_lo, b, d_hi, d_lo):
+        """Iterative refinement: f32 cycles against a float-float residual
+        (ops/extended.py) — reaches ~1e-8 relative residual on grids where
+        plain f32 floors at eps_f32 * kappa(A)."""
+        from multigrid_prj_tpu.ops.extended import (
+            ff_accumulate,
+            ff_poisson_residual,
+        )
+
+        h0 = self.levels[0].h
+        b2 = norm2(b)
+
+        def residual(u_hi, u_lo):
+            return ff_poisson_residual(u_hi, u_lo, d_hi, d_lo, b, self.alpha,
+                                       h0, self._logical0)
+
+        def rel(r):
+            return jnp.sqrt(norm2(r) / b2)
+
+        hist = jnp.full((self.maxit + 1,), jnp.nan, dtype=b.dtype)
+        hist = hist.at[0].set(rel(residual(u_hi, u_lo)))
+
+        def cond(state):
+            *_, k, hist = state
+            return (k < self.maxit) & (hist[k] > self.tol)
+
+        def body(state):
+            u_hi, u_lo, k, hist = state
+            r = residual(u_hi, u_lo)
+            e = self._error_cycle(r)
+            u_hi, u_lo = ff_accumulate(u_hi, u_lo, e)
+            hist = hist.at[k + 1].set(rel(residual(u_hi, u_lo)))
+            return u_hi, u_lo, k + 1, hist
+
+        u_hi, u_lo, k, hist = lax.while_loop(
+            cond, body, (u_hi, u_lo, jnp.int32(0), hist)
+        )
+        return u_hi, u_lo, k, hist
+
+    def solve_refined(self, b: jax.Array) -> SolveResult:
+        """Solve with float-float outer residuals (TPU-native f64 substitute).
+
+        Use on f32 backends when the plain-f32 floor ``~6e-8 * (N/pi)^2``
+        sits above the requested tolerance.  Costs ~2 extended residual
+        evaluations per cycle on top of the f32 cycle itself.
+
+        Convergence model (measured): the outer rate is
+        ``max(cycle_rate, C * eps_f32 * kappa(A))`` because the inner f32
+        cycle's own roundoff caps how accurately each correction solves the
+        error equation.  Through 2049^2 that keeps the full multigrid rate
+        (1025^2: 1.8e-9 in 9 cycles); at 8193^2 the rate degrades to ~0.78
+        per cycle but convergence to 1e-7 remains (~70 cycles, ~5 s on v5e)
+        — territory plain f32 cannot reach at all (floor 0.38 there).
+        """
+        from multigrid_prj_tpu.ops.extended import ff_from_div
+
+        lev0 = self.levels[0]
+        if lev0.padded_shape is not None and tuple(b.shape) == lev0.shape:
+            b = pad_to(b, lev0.padded_shape)
+        c = self.alpha / (lev0.h * lev0.h)
+        if not hasattr(self, "_jit_solve_ff"):
+            self._jit_solve_ff = jax.jit(self._solve_impl_ff)
+        d_hi, d_lo = ff_from_div(b, c)
+        u_hi, u_lo, k, hist = self._jit_solve_ff(
+            jnp.zeros_like(b), jnp.zeros_like(b), b, d_hi, d_lo
+        )
+        u = u_hi + u_lo
+        if lev0.padded_shape is not None:
+            u = crop_to(u, lev0.shape)
+        k = int(k)
+        hist_np = hist[: k + 1]
+        return SolveResult(u=u, history=hist_np, iterations=k,
+                           converged=bool(hist_np[-1] <= self.tol))
+
+    def solve(self, b: jax.Array, u0: jax.Array | None = None,
+              fmg_start: bool = False) -> SolveResult:
         """Solve to tolerance.  ``b`` (and ``u0``) are LOGICAL-shape arrays;
         padding in the aligned layout is handled internally and the returned
-        solution is cropped back to the logical grid."""
+        solution is cropped back to the logical grid.
+
+        ``fmg_start``: initialize with one full-multigrid pass (nested
+        iteration) before the outer loop — usually saves 2-3 outer cycles.
+        """
         lev0 = self.levels[0]
         if lev0.padded_shape is not None and tuple(b.shape) == lev0.shape:
             from multigrid_prj_tpu.ops.transfer import crop_to, pad_to
@@ -390,6 +474,11 @@ class GMGSolver:
             b = pad_to(b, lev0.padded_shape)
             if u0 is not None and tuple(u0.shape) == lev0.shape:
                 u0 = pad_to(u0, lev0.padded_shape)
+        if fmg_start and u0 is None:
+            u0 = jax.jit(
+                lambda bb: fmg(bb, self.levels, self.alpha, self.smoother,
+                               nu1=self.pre_sweeps, nu2=self.nu)
+            )(b)
         if u0 is None:
             u0 = jnp.zeros_like(b)
         u, k, hist = self._jit_solve(u0, b)

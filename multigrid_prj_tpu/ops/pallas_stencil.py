@@ -34,10 +34,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multigrid_prj_tpu.ops import stencil as _xla
 
-# Rows per grid block.  2 double-buffered (in + out + b) f32 row-blocks of
-# 8192 lanes at R=64 stay well inside the ~16 MB VMEM budget.
-_BLOCK_ROWS = 64
 _LANE = 128
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _pick_block_rows(n: int, m: int, n_big_operands: int = 3) -> int | None:
+    """Largest row-block size that divides ``n`` and fits VMEM.
+
+    Budget: double-buffered big operands (u, b, out) of (R, m) f32 plus two
+    8-row halo blocks.
+    """
+    for r in (256, 128, 64, 48, 32, 24, 16, 8):
+        if n % r:
+            continue
+        bytes_needed = 2 * (n_big_operands * r * m * 4 + 2 * 8 * m * 4)
+        if bytes_needed <= _VMEM_BUDGET:
+            return r
+    return None
 
 
 def _is_supported(shape, dtype) -> bool:
@@ -45,8 +58,9 @@ def _is_supported(shape, dtype) -> bool:
         return False
     n, m = shape
     return (
-        n % _BLOCK_ROWS == 0
+        n % 8 == 0
         and m % _LANE == 0
+        and _pick_block_rows(n, m) is not None
         and dtype in (jnp.float32, jnp.dtype("float32"))
     )
 
@@ -170,7 +184,7 @@ def poisson_apply(u: jax.Array, alpha: float, h: float,
         return _xla.poisson_apply(u, alpha, h, logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    return _call(_apply_kernel, u, (), n, m, _BLOCK_ROWS,
+    return _call(_apply_kernel, u, (), n, m, _pick_block_rows(n, m, 2),
                  logical_shape=logical_shape, c=c)
 
 
@@ -181,7 +195,7 @@ def poisson_residual(u: jax.Array, b: jax.Array, alpha: float, h: float,
         return _xla.poisson_residual(u, b, alpha, h, logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    return _call(_residual_kernel, u, (b,), n, m, _BLOCK_ROWS,
+    return _call(_residual_kernel, u, (b,), n, m, _pick_block_rows(n, m),
                  logical_shape=logical_shape, c=c)
 
 
@@ -191,7 +205,7 @@ def rbgs_color_sweep(u, b, alpha, h, color: int, logical_shape=None):
         raise ValueError(f"unsupported shape {u.shape} for pallas RB-GS")
     n, m = u.shape
     c = alpha / (h * h)
-    return _call(_rbgs_color_kernel, u, (b,), n, m, _BLOCK_ROWS,
+    return _call(_rbgs_color_kernel, u, (b,), n, m, _pick_block_rows(n, m),
                  logical_shape=logical_shape, c=c, color=color)
 
 
@@ -232,7 +246,7 @@ def jacobi(u, b, alpha, h, omega: float = 1.0, sweeps: int = 1,
     c = alpha / (h * h)
 
     def one_sweep(u):
-        return _call(_jacobi_kernel, u, (b,), n, m, _BLOCK_ROWS,
+        return _call(_jacobi_kernel, u, (b,), n, m, _pick_block_rows(n, m),
                      logical_shape=logical_shape, c=c, omega=omega)
 
     if sweeps <= 8:
