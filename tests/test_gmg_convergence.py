@@ -80,7 +80,11 @@ def test_matches_reference_solution_artifact():
 
     ref = load_vector(REF_X_MTX)
     assert ref.size == 385 * 385
-    solver, b = make_problem(n=385, levels=4)
+    # The artifact is a test-0 run (g = 0 on the boundary -- the vector's
+    # boundary entries are exactly 0; test 1's boundary peaks at e^10) with
+    # alpha = 1 (max value 7.3671 = 0.0737 * w^2 / alpha for -alpha*lap(u)=1
+    # on [0,10]^2).
+    solver, b = make_problem(n=385, levels=4, alpha=1.0, test=0)
     out = solver.solve(b)
     assert out.converged
     got = np.asarray(out.u).reshape(-1)
