@@ -48,14 +48,22 @@ def main() -> None:
     alpha, h = 10.0, 10.0 / (n - 1)
 
     def chain(k):
+        """k pairs of applies, ping-ponging two buffers (dst=) so the loop
+        carry needs no defensive copies — measured 2x on v5e."""
+
         @jax.jit
         def f(u):
-            return jax.lax.fori_loop(
-                0, k, lambda _, v: poisson_apply(v, alpha, h), u
-            )
+            def body(_, xy):
+                x, y = xy
+                y2 = poisson_apply(x, alpha, h, dst=y)
+                return poisson_apply(y2, alpha, h, dst=x), y2
+
+            x, _ = jax.lax.fori_loop(0, k, body, (u, jnp.zeros_like(u)))
+            return x
+
         return f
 
-    few, many = chain(5), chain(5 + iters)
+    few, many = chain(5), chain(5 + iters)  # iters pairs = 2*iters applies
 
     @jax.jit
     def make_u():
@@ -98,7 +106,7 @@ def main() -> None:
 
     interior = (n - 2) ** 2
     nnz = n * n + 4 * interior  # reference nnz accounting
-    value = nnz * iters / dt
+    value = nnz * (2 * iters) / dt  # chain(k) runs 2k applies
 
     bytes_per_point = 8.0  # f32 read + write per node per apply
     roofline_nnz_s = device_bandwidth() / bytes_per_point * (nnz / (n * n))

@@ -57,20 +57,32 @@ def test_residual_matches_xla(ub):
     _assert_close_normalized(got, xs.poisson_residual(u, b, ALPHA, H))
 
 
-def test_rbgs_matches_xla(ub):
+@pytest.mark.parametrize("sweeps", [1, 2, 4, 5])
+def test_rbgs_matches_xla(ub, sweeps):
+    """Covers partial groups (<4), one full fused group (4), and group+rem."""
     u, b = ub
     with pltpu.force_tpu_interpret_mode():
-        got = ps.red_black_gauss_seidel(u, b, ALPHA, H, sweeps=2)
-    want = sm.red_black_gauss_seidel(u, b, ALPHA, H, sweeps=2)
+        got = ps.red_black_gauss_seidel(u, b, ALPHA, H, sweeps=sweeps)
+    want = sm.red_black_gauss_seidel(u, b, ALPHA, H, sweeps=sweeps)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-5)
 
 
-def test_jacobi_matches_xla(ub):
+@pytest.mark.parametrize("sweeps", [2, 8, 11])
+def test_jacobi_matches_xla(ub, sweeps):
     u, b = ub
     with pltpu.force_tpu_interpret_mode():
-        got = ps.jacobi(u, b, ALPHA, H, omega=0.8, sweeps=2)
-    want = sm.jacobi(u, b, ALPHA, H, omega=0.8, sweeps=2)
+        got = ps.jacobi(u, b, ALPHA, H, omega=0.8, sweeps=sweeps)
+    want = sm.jacobi(u, b, ALPHA, H, omega=0.8, sweeps=sweeps)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-5)
+
+
+def test_apply_into_dst_matches(ub):
+    """dst= ping-pong target does not change values."""
+    u, _ = ub
+    with pltpu.force_tpu_interpret_mode():
+        plain = ps.poisson_apply(u, ALPHA, H)
+        into = ps.poisson_apply(u, ALPHA, H, dst=jnp.zeros_like(u))
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(into))
 
 
 def test_unsupported_shape_falls_back(ub):
