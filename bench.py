@@ -44,7 +44,7 @@ def main() -> None:
     from multigrid_prj_tpu.ops.pallas_stencil import poisson_apply
 
     n = int(os.environ.get("BENCH_N", "8192"))  # 8192 x 8192 f32 (aligned)
-    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    iters = int(os.environ.get("BENCH_ITERS", "100"))  # pairs of applies
     alpha, h = 10.0, 10.0 / (n - 1)
 
     def chain(k):
@@ -63,7 +63,10 @@ def main() -> None:
 
         return f
 
-    few, many = chain(5), chain(5 + iters)  # iters pairs = 2*iters applies
+    # Both chains must be LONG relative to the ~40 ms tunnel dispatch jitter
+    # or the subtraction amplifies noise (a short few-chain once produced an
+    # above-HBM-peak reading).  40 vs 40+iters pairs, median of the diffs.
+    few, many = chain(40), chain(40 + iters)  # iters pairs = 2*iters applies
 
     @jax.jit
     def make_u():
@@ -92,17 +95,16 @@ def main() -> None:
                 raise
             time.sleep(10)
 
-    best = 1e30
-    for _ in range(4):
+    diffs = []
+    for _ in range(5):
         t0 = time.perf_counter()
         run(few)
         t1 = time.perf_counter()
         run(many)
         t2 = time.perf_counter()
-        d = (t2 - t1) - (t1 - t0)  # overhead-corrected
-        if d > 0:
-            best = min(best, d)
-    dt = best
+        diffs.append((t2 - t1) - (t1 - t0))  # overhead-corrected
+    diffs.sort()
+    dt = diffs[len(diffs) // 2]  # median: robust to dispatch jitter
 
     interior = (n - 2) ** 2
     nnz = n * n + 4 * interior  # reference nnz accounting

@@ -118,6 +118,32 @@ def _apply_kernel(u_ref, un_ref, us_ref, out_ref, *, c, m, r, nl, ml):
     out_ref[:] = jnp.where(_masks(i, r, m, nl, ml), cur, stencil)
 
 
+def _apply_carry_kernel(u_ref, out_ref, prev_ref, tail_ref, *, c, m, r, nl,
+                        ml, nb):
+    """Streaming apply that reads ``u`` exactly once (8 B/point total).
+
+    Output is delayed one grid step: at step ``i`` the kernel emits block
+    ``i-1`` from VMEM scratch (``prev``), using the carried last rows of
+    block ``i-2`` (``tail``) as the north halo and the first row of the
+    just-arrived block ``i`` as the south halo.  Requires a sequential grid
+    (``dimension_semantics=("arbitrary",)``).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i > 0)
+    def _():
+        prev = prev_ref[:]
+        north = jnp.concatenate([tail_ref[-1:, :], prev[:-1, :]], axis=0)
+        south = jnp.concatenate([prev[1:, :], u_ref[:1, :]], axis=0)
+        west = pltpu.roll(prev, 1, axis=1)
+        east = pltpu.roll(prev, m - 1, axis=1)
+        stencil = c * (4.0 * prev - north - south - east - west)
+        out_ref[:] = jnp.where(_masks(i - 1, r, m, nl, ml), prev, stencil)
+
+    tail_ref[:] = prev_ref[-8:, :]
+    prev_ref[:] = u_ref[:]
+
+
 def _residual_kernel(u_ref, un_ref, us_ref, b_ref, out_ref, *, c, m, r, nl, ml):
     i = pl.program_id(0)
     cur = u_ref[:]
@@ -265,6 +291,48 @@ def _call(kernel, u, extra_inputs, n, m, r, logical_shape=None, dst=None, **kw):
 # ---------------------------------------------------------------------------
 
 
+def _call_carry(kernel, u, n, m, r, logical_shape=None, dst=None, **kw):
+    """Invoke a read-once streaming kernel (one-block-delayed output with
+    prev/tail VMEM scratch carry) with optional ping-pong ``dst``."""
+    nl, ml = (int(logical_shape[0]), int(logical_shape[1])) \
+        if logical_shape is not None else (n, m)
+    nb = n // r
+    in_specs = [pl.BlockSpec((r, m), lambda i: (jnp.minimum(i, nb - 1), 0),
+                             memory_space=pltpu.VMEM)]
+    out_spec = pl.BlockSpec((r, m), lambda i: (jnp.maximum(i - 1, 0), 0),
+                            memory_space=pltpu.VMEM)
+    body = functools.partial(kernel, m=m, r=r, nl=nl, ml=ml, nb=nb, **kw)
+    inputs = (u,)
+    alias = {}
+    if dst is not None:
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+        alias = {len(inputs): 0}
+        inputs = inputs + (dst,)
+        inner = body
+
+        def body(*refs):  # drop the never-read dst ref (before scratch refs)
+            return inner(refs[0], *refs[2:])
+
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
+        grid=(nb + 1,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        input_output_aliases=alias,
+        scratch_shapes=[
+            pltpu.VMEM((r, m), u.dtype),
+            pltpu.VMEM((8, m), u.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * m, bytes_accessed=2 * 4 * n * m, transcendentals=0
+        ),
+    )(*inputs)
+
+
 def poisson_apply(u: jax.Array, alpha: float, h: float,
                   logical_shape=None, dst=None) -> jax.Array:
     """Fused ``y = A u`` (identity at Dirichlet rows).
@@ -275,7 +343,11 @@ def poisson_apply(u: jax.Array, alpha: float, h: float,
         return _xla.poisson_apply(u, alpha, h, logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    return _call(_apply_kernel, u, (), n, m, _pick_block_rows(n, m, 2),
+    r = _pick_block_rows(n, m, 2)
+    if n // r >= 2:
+        return _call_carry(_apply_carry_kernel, u, n, m, r,
+                           logical_shape=logical_shape, dst=dst, c=c)
+    return _call(_apply_kernel, u, (), n, m, r,
                  logical_shape=logical_shape, dst=dst, c=c)
 
 
