@@ -128,9 +128,8 @@ def coarsen_greedy(
     # neighbor (strength is not symmetric, SURVEY.md §7.5); promote such
     # orphans to coarse so interpolation is always well defined.
     rows = np.repeat(np.arange(n), A.row_lengths)
-    strong_entry = strength_mask(A, theta)
     has_c = np.zeros(n, dtype=bool)
-    sel = strong_entry & (labels[A.indices] == 1)
+    sel = strong & (labels[A.indices] == 1)
     has_c[rows[sel]] = True
     labels[(labels == 0) & ~has_c] = 1
     return labels
@@ -398,7 +397,9 @@ class AMGSolver:
             self.host_matrices[-1].to_dense(), dtype=dtype
         )
         self._jit_vcycle = jax.jit(self._vcycle_impl)
-        self._jit_solve = jax.jit(self._solve_impl, static_argnames=("tol", "maxit"))
+        # tol/maxit are traced (dynamic) so changing them never recompiles
+        # the V-cycle chain.
+        self._jit_solve = jax.jit(self._solve_impl)
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -458,10 +459,15 @@ class AMGSolver:
 
         Returns ``(x, iterations, rel_residual)``.
         """
+        from multigrid_prj_tpu.utils.guards import check_finite
+
+        check_finite(b, "rhs b")
         b = jnp.asarray(b, dtype=self.dtype)
         if x0 is None:
             x0 = jnp.zeros_like(b)
-        x, k, rel = self._jit_solve(x0, b, tol=tol, maxit=maxit)
+        x, k, rel = self._jit_solve(
+            x0, b, jnp.asarray(tol, dtype=self.dtype), jnp.asarray(maxit, jnp.int32)
+        )
         return x, int(k), float(rel)
 
     def solve_pcg(self, b, x0=None, tol: float = 1e-10, maxit: int = 200):

@@ -467,6 +467,9 @@ class GMGSolver:
         ``fmg_start``: initialize with one full-multigrid pass (nested
         iteration) before the outer loop — usually saves 2-3 outer cycles.
         """
+        from multigrid_prj_tpu.utils.guards import check_finite
+
+        check_finite(b, "rhs b")
         lev0 = self.levels[0]
         if lev0.padded_shape is not None and tuple(b.shape) == lev0.shape:
             from multigrid_prj_tpu.ops.transfer import crop_to, pad_to

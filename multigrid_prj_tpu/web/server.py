@@ -41,7 +41,8 @@ canvas {{ border: 1px solid #ccc; margin-top: 1rem; }}
 <h2>TPU multigrid — geometric solver</h2>
 <form id="f">
 <fieldset><legend>Parameters</legend>
-<label>Grid nodes per side (N)</label><input name="n" value="65"><br>
+<label>Coarse-grid nodes per side (N)</label><input name="n" value="9"><br>
+<small>finest grid = N upscaled by 2N&minus;1 per level, as the reference UI</small><br>
 <label>Diffusion constant (a)</label><input name="a" value="10.0"><br>
 <label>Domain width (w)</label><input name="w" value="10.0"><br>
 <label>Multigrid levels (ml)</label><input name="ml" value="4"><br>
@@ -171,8 +172,14 @@ def run_solver(form: dict, workdir: str) -> dict:
     test = int(form.get("test", 1))
     smt = int(form.get("smt", 0))
     cycle = form.get("cycle", "sawtooth")
+    # The reference's form takes the COARSEST grid size and upscales it per
+    # level: N <- N * 2 - 1, (ml - 1) times (``WebInterface/home.php:93-98``),
+    # so the entered grid nests exactly in the multigrid hierarchy.
+    for _ in range(ml - 1):
+        n = n * 2 - 1
     if not (3 <= n <= 4097):
-        raise ValueError("N out of range [3, 4097]")
+        raise ValueError(f"finest N = {n} out of range [3, 4097] "
+                         "(N is upscaled by 2N-1 per level, as the reference)")
     if ml < 1:
         raise ValueError("levels must be >= 1")
 

@@ -137,8 +137,10 @@ def test_web_form_page(web_server):
 def test_web_run_and_downloads(web_server):
     host, port = web_server
     conn = http.client.HTTPConnection(host, port, timeout=300)
+    # The form takes the COARSEST N; the server upscales N <- 2N - 1 per
+    # level (the reference UI's home.php:93-98): 9 -> 17 -> 33 with ml=3.
     form = urllib.parse.urlencode(
-        {"n": 33, "a": 10.0, "w": 10.0, "ml": 3, "test": 1, "smt": 0,
+        {"n": 9, "a": 10.0, "w": 10.0, "ml": 3, "test": 1, "smt": 0,
          "cycle": "sawtooth"}
     )
     conn.request("POST", "/run", body=form,
