@@ -349,10 +349,23 @@ class AMGSolver:
         cheb_degree: int = 3,
         seed: int = 0,
         min_coarse: int = 8,
-        dtype=jnp.float64,
+        dtype=None,
         rhs: Optional[np.ndarray] = None,
     ):
         self.theta = theta
+        # Honest dtype resolution: f64 only where it actually exists (x64
+        # enabled, i.e. CPU); on TPU backends the default is f32 and callers
+        # needing tighter tolerances use :meth:`solve_refined` (ff32).  A
+        # f64 request on a non-x64 backend would be silently downcast by
+        # JAX — refuse the foot-gun instead.
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        elif dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "dtype=float64 requested but jax_enable_x64 is off (TPU "
+                "backends have no f64) — use dtype=float32 and "
+                "solve_refined() for extended-precision residuals"
+            )
         self.dtype = dtype
         self.smoother_name = smoother
         self.cheb_degree = int(cheb_degree)
@@ -468,6 +481,68 @@ class AMGSolver:
         x, k, rel = self._jit_solve(
             x0, b, jnp.asarray(tol, dtype=self.dtype), jnp.asarray(maxit, jnp.int32)
         )
+        return x, int(k), float(rel)
+
+    def solve_refined(self, b, tol: float = 1e-10, maxit: int = 100):
+        """Iterative refinement with ff32 extended-precision residuals.
+
+        For f32 (TPU) backends: the V-cycle runs in plain f32 but the outer
+        residual ``r = b - A x`` is evaluated with error-free transformations
+        (``ops/sparse_extended.py``) and the iterate is carried as an f32
+        pair, so convergence is not floored at ``eps_f32 * kappa(A)``.
+        Returns ``(x, iterations, rel_residual)`` like :meth:`solve`;
+        ``x`` is the pair combined on the host in f64 (a NumPy array) so the
+        extended precision survives the return — summing on device would
+        round back to f32 and re-floor the result.
+        """
+        from multigrid_prj_tpu.ops.sparse_extended import (
+            ELLPair,
+            ell_residual_ff,
+            ff_pair_from_f64,
+        )
+        from multigrid_prj_tpu.ops.extended import ff_add_f
+        from multigrid_prj_tpu.utils.guards import check_finite
+
+        check_finite(b, "rhs b")
+        if not hasattr(self, "_ell_pair"):
+            self._ell_pair = ELLPair.from_host_csr(self.host_matrices[0])
+        A2 = self._ell_pair
+        b_hi, b_lo = ff_pair_from_f64(np.asarray(b, dtype=np.float64))
+        f32 = jnp.float32
+
+        if not hasattr(self, "_jit_solve_ff"):
+
+            def _impl(b_hi, b_lo, tol, maxit):
+                b2 = jnp.sum(b_hi.astype(f32) ** 2)
+
+                def body(state):
+                    x_hi, x_lo, k, _ = state
+                    r = ell_residual_ff(A2, b_hi, b_lo, x_hi, x_lo)
+                    e = self._vcycle_impl(
+                        jnp.zeros_like(r, dtype=self.dtype),
+                        r.astype(self.dtype),
+                    ).astype(f32)
+                    x_hi, x_lo = ff_add_f(x_hi, x_lo, e)
+                    r2 = ell_residual_ff(A2, b_hi, b_lo, x_hi, x_lo)
+                    return x_hi, x_lo, k + 1, jnp.sum(r2 * r2)
+
+                def cond(state):
+                    _, _, k, rn2 = state
+                    return (k < maxit) & (rn2 > tol * tol * b2)
+
+                x_hi = jnp.zeros_like(b_hi)
+                x_hi, x_lo, k, rn2 = jax.lax.while_loop(
+                    cond, body, (x_hi, x_hi, jnp.int32(0), b2)
+                )
+                rel = jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
+                return x_hi, x_lo, k, rel
+
+            self._jit_solve_ff = jax.jit(_impl)
+
+        x_hi, x_lo, k, rel = self._jit_solve_ff(
+            b_hi, b_lo, jnp.asarray(tol, f32), jnp.asarray(maxit, jnp.int32)
+        )
+        x = np.asarray(x_hi, np.float64) + np.asarray(x_lo, np.float64)
         return x, int(k), float(rel)
 
     def solve_pcg(self, b, x0=None, tol: float = 1e-10, maxit: int = 200):

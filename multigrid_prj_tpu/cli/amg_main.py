@@ -32,6 +32,11 @@ def main(argv=None) -> int:
                    help="Krylov acceleration: AMG-preconditioned CG")
     p.add_argument("-tol", type=float, default=1e-10)
     p.add_argument("-maxit", type=int, default=100)
+    p.add_argument("-precision", choices=("auto", "f64", "f32", "ff32"),
+                   default="auto",
+                   help="auto = f64 on x64-capable backends (CPU), ff32 "
+                        "iterative refinement on TPU; f32 = plain single "
+                        "precision (residual floor ~eps_f32 * kappa)")
     p.add_argument("-o", default="output.vtu")
     p.add_argument("--reference-pass", action="store_true",
                    help="run ONE reference-style sawtooth pass (10/200/10 GS "
@@ -40,8 +45,12 @@ def main(argv=None) -> int:
 
     import jax
 
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and args.precision in ("auto", "f64"):
         jax.config.update("jax_enable_x64", True)
+    if args.precision == "f64" and not jax.config.jax_enable_x64:
+        print("Error: -precision f64 needs an x64-capable backend (CPU); "
+              "TPU has no hardware f64 — use -precision ff32")
+        return 1
     import numpy as np
 
     from multigrid_prj_tpu.amg import AMGSolver
@@ -68,11 +77,26 @@ def main(argv=None) -> int:
     t1 = time.perf_counter()
     print(f"Initialization time: {t1 - t0:.3f} seconds")
 
+    use_ff32 = args.precision == "ff32" or (
+        args.precision == "auto" and not jax.config.jax_enable_x64
+    )
+    if (args.precision == "f32" and args.tol < 1e-5
+            and not args.reference_pass):
+        print("Warning: tol below the plain-f32 residual floor "
+              "(~eps_f32 * kappa); consider -precision ff32")
+
     t0 = time.perf_counter()
     if args.reference_pass:
         x = solver.reference_sawtooth_pass(np.zeros(A.shape[0]))
         print(f"Residual norm after reference pass: "
               f"{solver.residual_norm(x, rhs):.6e}")
+    elif use_ff32 and args.accel == "none":
+        x, iters, rel = solver.solve_refined(rhs, tol=args.tol,
+                                             maxit=args.maxit)
+        print(f"ff32-refined V-cycle iterations: {iters}, "
+              f"relative residual {rel:.3e}")
+        if rel > args.tol:
+            print("Warning: not converged")
     elif args.accel == "pcg":
         x, iters, rel = solver.solve_pcg(rhs, tol=args.tol, maxit=args.maxit)
         print(f"AMG-PCG iterations: {iters}, relative residual {rel:.3e}")

@@ -16,7 +16,7 @@ from multigrid_prj_tpu.amg import (
     strength_mask,
 )
 from multigrid_prj_tpu.models.fem import assemble_p1, structured_unit_square_mesh
-from multigrid_prj_tpu.ops.sparse import HostCSR, rap
+from multigrid_prj_tpu.ops.sparse import ELLMatrix, HostCSR, rap
 
 
 def fd_poisson(n):
@@ -171,3 +171,85 @@ def test_operator_complexity_reasonable():
     A = fd_poisson(20)
     solver = AMGSolver(A, num_levels=4)
     assert 1.0 < solver.operator_complexity < 3.0
+
+
+def test_two_prod_and_ff_residual_exact():
+    """Error-free transforms: two_prod is exact in f32; the ff residual
+    matches the f64 residual to ~2^-45 relative."""
+    import jax
+
+    from multigrid_prj_tpu.ops.sparse_extended import (
+        ELLPair,
+        ell_residual_ff,
+        ff_pair_from_f64,
+        two_prod,
+    )
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    p, e = jax.jit(two_prod)(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(p, np.float64) + np.asarray(e, np.float64), exact,
+        rtol=1e-14,
+    )
+
+    # The ff32 payoff is CANCELLATION: near the solution the true residual
+    # is ~1e-13 * scale; a plain f32 evaluation is floored at
+    # ~eps_f32 * scale (1e-7), the ff evaluation must track the true value.
+    A = fd_poisson(12)
+    b64 = rng.standard_normal(A.shape[0])
+    A2 = ELLPair.from_host_csr(A)
+    bh, bl = ff_pair_from_f64(b64)
+    # the pair-represented system, solved exactly in f64
+    Ad = (np.asarray(A2.vals_hi, np.float64) + np.asarray(A2.vals_lo, np.float64))
+    dense = np.zeros(A.shape)
+    npr = np.arange(A.shape[0])[:, None].repeat(A2.cols.shape[1], 1)
+    np.add.at(dense, (npr, np.asarray(A2.cols)), Ad)
+    b_pair = np.asarray(bh, np.float64) + np.asarray(bl, np.float64)
+    x64 = np.linalg.solve(dense, b_pair)
+    xh, xl = ff_pair_from_f64(x64)
+    x_pair = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    r64 = b_pair - dense @ x_pair  # tiny: ~eps_f64 * kappa * scale
+    r_ff = np.asarray(ell_residual_ff(A2, bh, bl, xh, xl), np.float64)
+    r_f32 = np.asarray(
+        jnp.asarray(b_pair, jnp.float32)
+        - ELLMatrix.from_host_csr(A, dtype=jnp.float32).spmv(
+            jnp.asarray(x_pair, jnp.float32)
+        ),
+        np.float64,
+    )
+    scale = np.linalg.norm(b_pair)
+    assert np.linalg.norm(r_ff - r64) / scale < 1e-11  # ff tracks the truth
+    assert np.linalg.norm(r_f32 - r64) / scale > 1e-8  # plain f32 cannot
+
+
+def test_amg_f32_refined_beats_plain_floor():
+    """On an f32 hierarchy, solve() stalls at the eps_f32*kappa floor while
+    solve_refined() (ff32 outer residuals) reaches 1e-9 — the sparse analog
+    of the GMG ff32 path (documented f32 floor, VERDICT r1 item 7)."""
+    A = fd_poisson(48)  # kappa ~ (48/pi)^2 ~ 2.4e2 -> f32 floor ~ 3e-5
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.shape[0])
+    solver = AMGSolver(A, num_levels=4, dtype=jnp.float32)
+    _, _, rel_plain = solver.solve(b, tol=1e-9, maxit=60)
+    assert rel_plain > 1e-8  # plain f32 cannot get there
+    x, iters, rel = solver.solve_refined(b, tol=1e-9, maxit=60)
+    assert rel <= 1e-9, rel
+    assert iters < 60
+    # true residual in f64 confirms the device-side estimate
+    r = b - A.spmv(np.asarray(x, np.float64))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 5e-9
+
+
+def test_amg_rejects_f64_without_x64():
+    import jax
+
+    A = fd_poisson(6)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(ValueError, match="x64"):
+            AMGSolver(A, num_levels=2, dtype=jnp.float64)
+    finally:
+        jax.config.update("jax_enable_x64", True)
