@@ -1,12 +1,25 @@
-"""Headline benchmark: matrix-free 5-point Poisson SpMV throughput per chip.
+"""Headline benchmark: matrix-free 5-point Poisson operator-chain throughput
+per chip, plus secondary hardware metrics (single-apply stream, Pallas ELL
+SpMV, ff32 V-cycle wall time) in the same JSON line's ``extra`` field.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Metric: effective sparse nonzeros processed per second by the stencil
-operator apply (the reference's nnz accounting, ``linear_system.hpp:53-55``:
-``nnz = N + 4 * interior``).  Baseline = 80% of the HBM roofline for the
-op's streamed bytes (read u + write y, 8 B/point in f32), the target set in
-BASELINE.json.
+Workload (unchanged since round 1): a DEPENDENT CHAIN of stencil operator
+applies ``u <- A u`` — the reference's hot loop shape (smoother/operator
+sweeps, ``GeometricMultigrid/include/solvers.hpp:33-48``).  ``value`` is
+effective sparse nonzeros processed per second using the reference's nnz
+accounting (``linear_system.hpp:53-55``: ``nnz = N + 4 * interior``).
+
+Baseline: 80% of the HBM roofline for an UNFUSED apply's streamed bytes
+(read u + write y = 8 B/point f32) — the BASELINE.json target.  Round 1
+implemented each apply as its own speed-of-light memory pass and measured
+vs_baseline 0.998 (the practical ceiling of that implementation: ~654 GB/s
+streaming on this v5e).  Round 2 executes the SAME chain with temporal
+blocking (``ops/pallas_stencil.poisson_apply_chain``: 8 dependent applies
+per HBM pass, bit-identical results, verified in tests), so the chain beats
+the single-pass roofline — the baseline is kept FIXED so vs_baseline shows
+the genuine speedup on the same workload.  ``extra.single_apply_nnz_per_s``
+still reports the unfused per-apply stream for roofline accounting.
 """
 
 from __future__ import annotations
@@ -28,6 +41,8 @@ HBM_BW = {
     "cpu": 50e9,
 }
 
+FUSE = 8  # applies per HBM pass (ops/pallas_stencil._MAX_FUSED_APPLIES)
+
 
 def device_bandwidth() -> float:
     d = jax.devices()[0]
@@ -38,19 +53,62 @@ def device_bandwidth() -> float:
     return HBM_BW["tpu v5e"] if d.platform != "cpu" else HBM_BW["cpu"]
 
 
-def main() -> None:
-    # Pallas fused stencil kernel on aligned shapes; falls back to the XLA
-    # path automatically elsewhere (ops/pallas_stencil.py).
-    from multigrid_prj_tpu.ops.pallas_stencil import poisson_apply
+def _fence(r) -> float:
+    # Fetch a scalar to guarantee completion (block_until_ready alone is
+    # not a reliable fence through the remote-dispatch tunnel).
+    return float(r[(0,) * getattr(r, "ndim", 1)]) if hasattr(r, "ndim") else float(r)
 
-    n = int(os.environ.get("BENCH_N", "8192"))  # 8192 x 8192 f32 (aligned)
-    iters = int(os.environ.get("BENCH_ITERS", "100"))  # pairs of applies
+
+def _timed_pair(few, many, u, n_applies_delta: int, reps: int = 5) -> float:
+    """Median overhead-corrected time for ``n_applies_delta`` extra applies.
+
+    Both chains must be LONG relative to the ~40 ms tunnel dispatch jitter
+    or the subtraction amplifies noise.
+    """
+    for attempt in range(4):  # remote AOT compile service is flaky
+        try:
+            _fence(few(u))
+            _fence(many(u))
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(10)
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fence(few(u))
+        t1 = time.perf_counter()
+        _fence(many(u))
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    diffs.sort()
+    return diffs[len(diffs) // 2]
+
+
+def measure_stencil_chains(n: int, iters: int):
+    """(fused_chain_nnz_per_s, single_apply_nnz_per_s)."""
+    from multigrid_prj_tpu.ops.pallas_stencil import (
+        poisson_apply,
+        poisson_apply_chain,
+    )
+
     alpha, h = 10.0, 10.0 / (n - 1)
 
-    def chain(k):
-        """k pairs of applies, ping-ponging two buffers (dst=) so the loop
-        carry needs no defensive copies — measured 2x on v5e."""
+    def chain_fused(k):
+        @jax.jit
+        def f(u):
+            def body(_, xy):
+                x, y = xy
+                x2 = poisson_apply_chain(x, alpha, h, FUSE, dst=y)
+                return x2, x
 
+            x, _ = jax.lax.fori_loop(0, k, body, (u, jnp.zeros_like(u)))
+            return x
+
+        return f
+
+    def chain_single(k):
         @jax.jit
         def f(u):
             def body(_, xy):
@@ -63,64 +121,115 @@ def main() -> None:
 
         return f
 
-    # Both chains must be LONG relative to the ~40 ms tunnel dispatch jitter
-    # or the subtraction amplifies noise (a short few-chain once produced an
-    # above-HBM-peak reading).  40 vs 40+iters pairs, median of the diffs.
-    few, many = chain(40), chain(40 + iters)  # iters pairs = 2*iters applies
-
     @jax.jit
     def make_u():
-        # Generate on device: pushing 256 MB through the remote-dispatch
-        # tunnel is slow and flaky.
         i = jax.lax.broadcasted_iota(jnp.float32, (n, n), 0)
         j = jax.lax.broadcasted_iota(jnp.float32, (n, n), 1)
-        return jnp.sin(0.01 * i) * jnp.cos(0.013 * j)
+        return 1e-3 * jnp.sin(0.01 * i) * jnp.cos(0.013 * j)
 
     u = make_u()
-
-    def run(f):
-        # Fetch a scalar to guarantee completion (block_until_ready alone is
-        # not a reliable fence through the remote-dispatch tunnel).
-        r = f(u)
-        _ = float(r[0, 0])
-
-    # The remote AOT compile service is occasionally flaky; retry warmup.
-    for attempt in range(4):
-        try:
-            run(few)
-            run(many)
-            break
-        except Exception:
-            if attempt == 3:
-                raise
-            time.sleep(10)
-
-    diffs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run(few)
-        t1 = time.perf_counter()
-        run(many)
-        t2 = time.perf_counter()
-        diffs.append((t2 - t1) - (t1 - t0))  # overhead-corrected
-    diffs.sort()
-    dt = diffs[len(diffs) // 2]  # median: robust to dispatch jitter
-
     interior = (n - 2) ** 2
-    nnz = n * n + 4 * interior  # reference nnz accounting
-    value = nnz * (2 * iters) / dt  # chain(k) runs 2k applies
+    nnz = n * n + 4 * interior
 
-    bytes_per_point = 8.0  # f32 read + write per node per apply
+    dt_f = _timed_pair(chain_fused(12), chain_fused(12 + iters), u,
+                       iters * FUSE)
+    fused = nnz * (iters * FUSE) / dt_f
+    dt_s = _timed_pair(chain_single(40), chain_single(40 + iters), u,
+                       2 * iters)
+    single = nnz * (2 * iters) / dt_s
+    return fused, single, nnz
+
+
+def measure_ell_spmv():
+    """Pallas ELL SpMV nnz/s on a 1M-row banded system (ops/pallas_spmv)."""
+    import numpy as np
+
+    from benchmarks.spmv_bench import banded_csr
+    from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
+
+    n = 1 << 20
+    A = banded_csr(n)
+    pA = PallasELL.build(A, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+    iters = 50
+
+    @jax.jit
+    def chain(x):
+        # dependent chain in the padded 2D layout (how a solver inner loop
+        # holds its vectors) — the pad/unpad copies happen once, outside;
+        # the in-place prefix update keeps the loop carry alias-friendly
+        x2d = pA.pad_x(x)
+
+        def body(_, x2d):
+            y2d = pA.spmv2d(x2d)
+            return jax.lax.dynamic_update_slice(x2d, y2d, (0, 0))
+
+        return jax.lax.fori_loop(0, iters, body, x2d)
+
+    _fence(chain(x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fence(chain(x))
+        best = min(best, time.perf_counter() - t0)
+    return pA.nnz_dense * iters / best
+
+
+def measure_vcycle_ff32(n: int = 1025, tol: float = 1e-8):
+    """Wall-clock of a full ff32-refined GMG solve to ``tol`` (BASELINE's
+    second metric: V-cycle wall-time to 1e-8 on 1025^2, f32 + ff32)."""
+    from multigrid_prj_tpu.gmg import GMGSolver
+    from multigrid_prj_tpu.models.poisson import assemble_rhs
+
+    solver = GMGSolver(shape=(n, n), length=10.0, alpha=10.0, num_levels=6,
+                       cycle="v", nu=2, pre_sweeps=2, tol=tol, maxit=60,
+                       pad_align=256)
+    b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
+    out = solver.solve_refined(b)  # warmup (compile)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = solver.solve_refined(b)
+        _fence(out.u)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3, int(out.iterations), float(out.history[-1])
+
+
+def main() -> None:
+    n = int(os.environ.get("BENCH_N", "8192"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+
+    fused, single, nnz = measure_stencil_chains(n, iters)
+
+    bytes_per_point = 8.0  # unfused f32 read + write per node per apply
     roofline_nnz_s = device_bandwidth() / bytes_per_point * (nnz / (n * n))
     baseline = 0.8 * roofline_nnz_s
+
+    extra = {
+        "single_apply_nnz_per_s": single,
+        "single_apply_vs_baseline": single / baseline,
+        "fused_group": FUSE,
+    }
+    try:
+        extra["ell_spmv_pallas_nnz_per_s"] = measure_ell_spmv()
+    except Exception as e:  # secondary metrics must never kill the bench
+        extra["ell_spmv_error"] = str(e)[:200]
+    try:
+        ms, iters_v, rel = measure_vcycle_ff32()
+        extra["vcycle_1025_ff32_to_1e8_ms"] = ms
+        extra["vcycle_1025_ff32_iters"] = iters_v
+        extra["vcycle_1025_ff32_rel_residual"] = rel
+    except Exception as e:
+        extra["vcycle_error"] = str(e)[:200]
 
     print(
         json.dumps(
             {
                 "metric": "stencil_spmv_nnz_per_s",
-                "value": value,
+                "value": fused,
                 "unit": "nnz/s",
-                "vs_baseline": value / baseline,
+                "vs_baseline": fused / baseline,
+                "extra": extra,
             }
         )
     )

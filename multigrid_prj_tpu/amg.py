@@ -42,7 +42,7 @@ the whole V-cycle is a single jitted computation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -248,6 +248,19 @@ def greedy_coloring(A: HostCSR) -> tuple[np.ndarray, int]:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class ColorBlock:
+    """The rows of one color, stored as a contiguous ELL sub-block so a
+    multicolor GS sweep touches every nonzero exactly once (a full sweep
+    costs ONE SpMV-equivalent instead of ``n_colors`` full SpMVs)."""
+
+    rows: jax.Array  # (nc,) int32 global row ids of this color
+    cols: jax.Array  # (nc, K) int32
+    vals: jax.Array  # (nc, K)
+    inv_diag: jax.Array  # (nc,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class AMGLevel:
     """One AMG level on device."""
 
@@ -260,27 +273,64 @@ class AMGLevel:
     rhs: Optional[jax.Array] = None  # reference-compat coarse rhs (P^T...rhs)
     lmax: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     # largest eigenvalue estimate of D^-1 A (Chebyshev smoother interval)
+    color_blocks: Tuple[ColorBlock, ...] = ()
+    # Pallas-kernel variants (ops/pallas_spmv.py) — None falls back to the
+    # XLA gather path of the plain ELL fields above
+    A_fast: Optional[object] = None
+    P_fast: Optional[object] = None
+    Pt_fast: Optional[object] = None
+
+
+def apply_A(lvl: "AMGLevel", x: jax.Array) -> jax.Array:
+    """``A x`` on a level, via the Pallas kernel when prepared."""
+    return lvl.A_fast.spmv(x) if lvl.A_fast is not None else lvl.A.spmv(x)
+
+
+def apply_P(lvl: "AMGLevel", xc: jax.Array) -> jax.Array:
+    return lvl.P_fast.spmv(xc) if lvl.P_fast is not None else lvl.P.spmv(xc)
+
+
+def apply_Pt(lvl: "AMGLevel", r: jax.Array) -> jax.Array:
+    return lvl.Pt_fast.spmv(r) if lvl.Pt_fast is not None else lvl.Pt.spmv(r)
 
 
 def _to_device_level(A: HostCSR, dtype=jnp.float64) -> tuple:
     ell = ELLMatrix.from_host_csr(A, dtype=dtype)
-    diag = jnp.asarray(A.diagonal(), dtype=dtype)
+    diag_np = A.diagonal()
+    diag = jnp.asarray(diag_np, dtype=dtype)
     colors, n_colors = greedy_coloring(A)
-    return ell, diag, jnp.asarray(colors, dtype=jnp.int32), n_colors
+    cols_np = np.asarray(ell.cols)
+    vals_np = np.asarray(ell.vals, dtype=np.float64)
+    blocks = []
+    safe_diag = np.where(diag_np == 0, 1.0, diag_np)
+    for c in range(n_colors):
+        rows_c = np.flatnonzero(colors == c).astype(np.int32)
+        blocks.append(ColorBlock(
+            rows=jnp.asarray(rows_c),
+            cols=jnp.asarray(cols_np[rows_c]),
+            vals=jnp.asarray(vals_np[rows_c], dtype=dtype),
+            inv_diag=jnp.asarray(1.0 / safe_diag[rows_c], dtype=dtype),
+        ))
+    return ell, diag, jnp.asarray(colors, dtype=jnp.int32), n_colors, tuple(blocks)
 
 
 def mc_gs_sweep(level: AMGLevel, x: jax.Array, b: jax.Array) -> jax.Array:
-    """One multicolor Gauss-Seidel sweep: per color, a fused masked update
-    ``x_c <- x_c + (b - A x)_c / diag_c`` using the freshest ``x``."""
-    for c in range(level.n_colors):
-        r = b - level.A.spmv(x)
-        x = jnp.where(level.color == c, x + r / level.diag, x)
+    """One multicolor Gauss-Seidel sweep: per color, the exact GS update
+    ``x_c <- x_c + (b - A x)_c / diag_c`` with the freshest ``x`` — but
+    computed on that color's row block only, so the whole sweep streams each
+    nonzero once (the reference's sequential sweep costs the same,
+    ``AMG/include/Utilities.hpp:38-98``; the naive parallel form costs
+    ``n_colors`` full SpMVs)."""
+    for blk in level.color_blocks:
+        ax = jnp.sum(blk.vals * jnp.take(x, blk.cols, axis=0), axis=1)
+        delta = (jnp.take(b, blk.rows) - ax) * blk.inv_diag
+        x = x.at[blk.rows].add(delta, unique_indices=True)
     return x
 
 
 def jacobi_sweep(level: AMGLevel, x: jax.Array, b: jax.Array,
                  omega: float = 2.0 / 3.0) -> jax.Array:
-    r = b - level.A.spmv(x)
+    r = b - apply_A(level, x)
     return x + omega * r / level.diag
 
 
@@ -300,12 +350,12 @@ def chebyshev_smooth(level: AMGLevel, x: jax.Array, b: jax.Array,
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
     rho = 1.0 / sigma
-    r = b - level.A.spmv(x)
+    r = b - apply_A(level, x)
     p = (r / level.diag) / theta
     x = x + p
     for _ in range(degree - 1):
         rho_new = 1.0 / (2.0 * sigma - rho)
-        r = b - level.A.spmv(x)
+        r = b - apply_A(level, x)
         p = (rho_new * rho) * p + (2.0 * rho_new / delta) * (r / level.diag)
         x = x + p
         rho = rho_new
@@ -351,6 +401,10 @@ class AMGSolver:
         min_coarse: int = 8,
         dtype=None,
         rhs: Optional[np.ndarray] = None,
+        use_pallas: bool | str = "auto",
+        pallas_interpret: bool = False,
+        reorder: str = "auto",  # "rcm" | "none" | "auto" (rcm iff pallas)
+        pallas_min_rows: int = 4096,
     ):
         self.theta = theta
         # Honest dtype resolution: f64 only where it actually exists (x64
@@ -371,6 +425,22 @@ class AMGSolver:
         self.cheb_degree = int(cheb_degree)
         coarsen = {"pmis": coarsen_pmis, "greedy": coarsen_greedy}[coarsening]
 
+        # Pallas SpMV path: on by default on TPU backends; the matrix is
+        # RCM-reordered so the kernel's banded-window layout applies
+        # (ops/pallas_spmv.py).  The permutation is internal — every public
+        # entry point translates b in and x out.
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = bool(use_pallas) and dtype == jnp.float32
+        self._pallas_interpret = pallas_interpret
+        self._pallas_min_rows = int(pallas_min_rows)
+        self._perm = None
+        if reorder == "rcm" or (reorder == "auto" and self._use_pallas):
+            self._perm = A.rcm_permutation()
+            A = A.permute(self._perm)
+            if rhs is not None:
+                rhs = np.asarray(rhs)[self._perm]
+
         self.host_matrices: List[HostCSR] = [A]
         self.host_P: List[HostCSR] = []
         cur = A
@@ -388,13 +458,24 @@ class AMGSolver:
         # device levels
         self.levels: List[AMGLevel] = []
         rhs_l = None if rhs is None else np.asarray(rhs, dtype=np.float64)
+        def _fast(M: HostCSR):
+            if not self._use_pallas or M.shape[0] < self._pallas_min_rows:
+                return None
+            from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
+
+            return PallasELL.build(M, dtype=dtype,
+                                   interpret=self._pallas_interpret)
+
         for i, M in enumerate(self.host_matrices):
-            ell, diag, colors, n_colors = _to_device_level(M, dtype)
+            ell, diag, colors, n_colors, blocks = _to_device_level(M, dtype)
             lmax = _estimate_lmax(M) if smoother == "chebyshev" else 0.0
             P = Pt = None
+            P_fast = Pt_fast = None
             if i < len(self.host_P):
                 P = ELLMatrix.from_host_csr(self.host_P[i], dtype=dtype)
                 Pt = ELLMatrix.from_host_csr(self.host_P[i].transpose(), dtype=dtype)
+                P_fast = _fast(self.host_P[i])
+                Pt_fast = _fast(self.host_P[i].transpose())
             lvl_rhs = None
             if rhs_l is not None:
                 lvl_rhs = jnp.asarray(rhs_l, dtype=dtype)
@@ -402,7 +483,9 @@ class AMGSolver:
                     rhs_l = self.host_P[i].transpose().spmv(rhs_l)
             self.levels.append(
                 AMGLevel(A=ell, diag=diag, color=colors, n_colors=n_colors,
-                         P=P, Pt=Pt, rhs=lvl_rhs, lmax=lmax)
+                         P=P, Pt=Pt, rhs=lvl_rhs, lmax=lmax,
+                         color_blocks=blocks, A_fast=_fast(M),
+                         P_fast=P_fast, Pt_fast=Pt_fast)
             )
 
         # dense coarsest operator for the direct bottom solve
@@ -441,10 +524,10 @@ class AMGSolver:
         if _level == len(self.levels) - 1:
             return jnp.linalg.solve(self._coarse_dense, b)
         x = self._smooth(lvl, x, b, nu1)
-        r = b - lvl.A.spmv(x)
-        bc = lvl.Pt.spmv(r)
+        r = b - apply_A(lvl, x)
+        bc = apply_Pt(lvl, r)
         xc = self._vcycle_impl(jnp.zeros_like(bc), bc, nu1, nu2, _level + 1)
-        x = x + lvl.P.spmv(xc)
+        x = x + apply_P(lvl, xc)
         return self._smooth(lvl, x, b, nu2)
 
     def vcycle(self, x, b, nu1: int = 1, nu2: int = 1):
@@ -456,7 +539,7 @@ class AMGSolver:
         def body(state):
             x, k, _ = state
             x = self._vcycle_impl(x, b)
-            r = b - self.levels[0].A.spmv(x)
+            r = b - apply_A(self.levels[0], x)
             return x, k + 1, jnp.sum(r * r)
 
         def cond(state):
@@ -467,6 +550,19 @@ class AMGSolver:
         rel = jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
         return x, k, rel
 
+
+    # -- permutation translation (internal RCM frame <-> caller frame) -------
+
+    def _perm_in(self, v):
+        return v if self._perm is None else np.asarray(v)[self._perm]
+
+    def _perm_out(self, x):
+        if self._perm is None:
+            return x
+        out = np.empty_like(np.asarray(x))
+        out[self._perm] = np.asarray(x)
+        return jnp.asarray(out) if isinstance(x, jax.Array) else out
+
     def solve(self, b, x0=None, tol: float = 1e-10, maxit: int = 100):
         """V-cycle iteration to relative residual ``tol``.
 
@@ -475,13 +571,15 @@ class AMGSolver:
         from multigrid_prj_tpu.utils.guards import check_finite
 
         check_finite(b, "rhs b")
-        b = jnp.asarray(b, dtype=self.dtype)
+        b = jnp.asarray(self._perm_in(b), dtype=self.dtype)
         if x0 is None:
             x0 = jnp.zeros_like(b)
+        else:
+            x0 = jnp.asarray(self._perm_in(x0), dtype=self.dtype)
         x, k, rel = self._jit_solve(
             x0, b, jnp.asarray(tol, dtype=self.dtype), jnp.asarray(maxit, jnp.int32)
         )
-        return x, int(k), float(rel)
+        return self._perm_out(x), int(k), float(rel)
 
     def solve_refined(self, b, tol: float = 1e-10, maxit: int = 100):
         """Iterative refinement with ff32 extended-precision residuals.
@@ -504,6 +602,7 @@ class AMGSolver:
         from multigrid_prj_tpu.utils.guards import check_finite
 
         check_finite(b, "rhs b")
+        b = self._perm_in(b)
         if not hasattr(self, "_ell_pair"):
             self._ell_pair = ELLPair.from_host_csr(self.host_matrices[0])
         A2 = self._ell_pair
@@ -543,7 +642,7 @@ class AMGSolver:
             b_hi, b_lo, jnp.asarray(tol, f32), jnp.asarray(maxit, jnp.int32)
         )
         x = np.asarray(x_hi, np.float64) + np.asarray(x_lo, np.float64)
-        return x, int(k), float(rel)
+        return self._perm_out(x), int(k), float(rel)
 
     def solve_pcg(self, b, x0=None, tol: float = 1e-10, maxit: int = 200):
         """AMG-preconditioned conjugate gradients.
@@ -555,16 +654,18 @@ class AMGSolver:
         """
         from multigrid_prj_tpu.ops.krylov import cg
 
-        b = jnp.asarray(b, dtype=self.dtype)
+        b = jnp.asarray(self._perm_in(b), dtype=self.dtype)
         if x0 is None:
             x0 = jnp.zeros_like(b)
-        A0 = self.levels[0].A
+        else:
+            x0 = jnp.asarray(self._perm_in(x0), dtype=self.dtype)
+        lvl0 = self.levels[0]
 
         res = cg(
-            lambda v: A0.spmv(v), b, x0=x0, tol=tol, maxit=maxit,
+            lambda v: apply_A(lvl0, v), b, x0=x0, tol=tol, maxit=maxit,
             M=lambda r: self._vcycle_impl(jnp.zeros_like(r), r),
         )
-        return res.x, res.iterations, res.rel_residual
+        return self._perm_out(res.x), res.iterations, res.rel_residual
 
     # -- reference-compat sawtooth pass --------------------------------------
 
@@ -582,7 +683,7 @@ class AMGSolver:
         """
         if self.levels[0].rhs is None:
             raise ValueError("reference_sawtooth_pass needs rhs= at setup")
-        xs = [jnp.asarray(x, dtype=self.dtype)]
+        xs = [jnp.asarray(self._perm_in(x), dtype=self.dtype)]
         L = len(self.levels)
         for l in range(L - 1):
             lvl = self.levels[l]
@@ -595,10 +696,10 @@ class AMGSolver:
             lvl = self.levels[l]
             xs[l] = xs[l] + lvl.P.spmv(xs[l + 1])
             xs[l] = self._smooth(lvl, xs[l], lvl.rhs, post)
-        return xs[0]
+        return self._perm_out(xs[0])
 
     def residual_norm(self, x, b) -> float:
-        r = jnp.asarray(b, self.dtype) - self.levels[0].A.spmv(
-            jnp.asarray(x, self.dtype)
+        r = jnp.asarray(self._perm_in(b), self.dtype) - self.levels[0].A.spmv(
+            jnp.asarray(self._perm_in(x), self.dtype)
         )
         return float(jnp.sqrt(jnp.sum(r * r)))

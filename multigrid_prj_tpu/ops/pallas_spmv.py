@@ -1,0 +1,255 @@
+"""Pallas TPU kernel for ELL sparse matrix-vector products.
+
+The AMG solve phase's hot op is ``y = A x`` on a fixed unstructured sparsity
+(the reference's CSR row scans, ``AMG/src/CSRMatrix.cpp:24-52``, driven from
+the 10/200/10 GS sweeps at ``AMG/src/AMG.cpp:283-303``).  The XLA lowering of
+the padded-gather formulation (``jnp.take`` + row reduction,
+``ops/sparse.py:ELLMatrix.spmv``) measures **1.95 Gnnz/s** on v5e — 52x
+under the ~102 Gnnz/s HBM roofline for the 8 B/nnz ELL stream.  This kernel
+closes that gap.
+
+TPU-native design (constraints from Mosaic: the only dynamic gather that
+lowers is ``take_along_axis`` on SAME-SHAPE 2D operands within a (8, 128)
+lane tile):
+
+* **slot-major ELL**: ``colsT/valsT`` stored ``(K, n)`` so one (K, 128)
+  tile covers 128 consecutive rows x all their nonzero slots — rows ride
+  the 128-lane axis, slots the sublane axis.
+* **banded windows**: the matrix is RCM-reordered at setup, so the columns
+  touched by 128 consecutive rows span a narrow window.  Per lane tile the
+  setup records ``base2`` = first 128-aligned x-tile of that window; column
+  ids are stored RELATIVE to it.  The window covers ``t_win`` x-tiles
+  (typically 3-5 after RCM), a static kernel constant.
+* **gather = per-tile select**: ``x`` lives fully in VMEM as ``(S, 128)``
+  (row-major: tile s holds entries ``[128 s, 128 s + 128)``).  For each of
+  the ``t_win`` window tiles the kernel broadcasts that tile's row to
+  ``(K, 128)``, lane-gathers with the relative index, and selects by the
+  index's tile id — turning the unstructured gather into ``t_win`` fully
+  vectorized VPU ops.
+* **scalar prefetch**: the per-lane-tile ``base2`` array rides the
+  PrefetchScalarGridSpec so block index maps and the in-kernel dynamic
+  window slices know their x-tiles before the block runs.
+
+HBM traffic: vals + cols stream once (8 B per padded nnz), x is read once
+into VMEM, y written once — the ELL speed of light.  Compute: ~4 VPU ops
+per window tile per (K, 128) tile of nonzeros.
+
+Falls back (returns ``None`` from :func:`PallasELL.build`) when the vector
+does not fit VMEM (~2M rows) or the post-RCM band is too wide; callers then
+keep the XLA gather path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multigrid_prj_tpu.ops.sparse import HostCSR
+
+_LANE = 128
+_MAX_X_VMEM = 8 * 1024 * 1024  # x must fit comfortably in VMEM
+_MAX_T_WIN = 8  # window = one 8-sublane x slice; wider bands fall back
+
+
+def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
+    """One row block: r rows x k slots; per lane tile, window-select gather.
+
+    ``o_ref`` is an ``(r / 128, 128)`` tile of the output in the same
+    row-major 2D layout as ``x`` — lane tile ``j``'s 128 row sums land in
+    output sublane ``j``.
+    """
+    i = pl.program_id(0)
+    nlt = r // _LANE
+    for j in range(nlt):
+        sl = slice(j * _LANE, (j + 1) * _LANE)
+        idx = cols_ref[:, sl]
+        hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
+        lo = jax.lax.bitwise_and(idx, jnp.int32(127))
+        base = base2_ref[i * nlt + j]
+        # ONE dynamic sublane slice per lane tile (the window's 8 x-tiles =
+        # 1024 consecutive entries); the per-window-tile sources are then
+        # cheap static-row broadcasts of it.  (A dynamic slice per (j, t)
+        # measured 4x slower.)
+        win = x_ref[pl.ds(base, 8), :]
+        g = jnp.zeros((k, _LANE), x_ref.dtype)
+        for t in range(t_win):
+            src = jnp.broadcast_to(win[t, :][None, :], (k, _LANE))
+            g = jnp.where(hi == t, jnp.take_along_axis(src, lo, axis=1), g)
+        o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PallasELL:
+    """ELL matrix prepared for the Pallas SpMV kernel (slot-major, relative
+    banded column ids, per-lane-tile window bases)."""
+
+    colsT_rel: jax.Array  # (K_pad, n_pad) int32
+    valsT: jax.Array  # (K_pad, n_pad)
+    base2: jax.Array  # (n_pad // 128,) int32 window base x-tile per lane tile
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    t_win: int = dataclasses.field(metadata=dict(static=True))
+    m_pad: int = dataclasses.field(metadata=dict(static=True))
+    block_rows: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    # run the kernel in interpreter mode (CPU tests of TPU code paths)
+    interpret: bool = dataclasses.field(default=False,
+                                        metadata=dict(static=True))
+
+    @staticmethod
+    def build(
+        csr: HostCSR,
+        dtype=jnp.float32,
+        block_rows: int = 1024,
+        max_t_win: int = _MAX_T_WIN,
+        interpret: bool = False,
+    ) -> Optional["PallasELL"]:
+        """Prepare a CSR matrix for the kernel; ``None`` if unsupported.
+
+        The CALLER is responsible for the matrix being banded (RCM-reorder
+        first — ``HostCSR.rcm_permutation``/``permute``); this only measures
+        the resulting window widths and refuses pathological ones.
+        """
+        n, m = csr.shape
+        if n == 0 or csr.nnz == 0:
+            return None
+        if block_rows % (8 * _LANE):
+            raise ValueError("block_rows must be a multiple of 1024 "
+                             "(8-sublane output tiles)")
+        s_tiles = -(-m // _LANE)
+        if s_tiles * _LANE * 4 > _MAX_X_VMEM:
+            return None
+        lengths = csr.row_lengths
+        k = int(lengths.max())
+        k_pad = max(8, -(-k // 8) * 8)
+        n_pad = -(-n // block_rows) * block_rows
+        # dense (n_pad, k_pad) cols/vals; padding slots get col = row's min
+        # col (harmless relative index) and val = 0
+        cols = np.zeros((n_pad, k_pad), dtype=np.int64)
+        vals = np.zeros((n_pad, k_pad), dtype=np.float64)
+        rows = np.repeat(np.arange(n), lengths)
+        slot = np.arange(csr.nnz, dtype=np.int64) - np.repeat(
+            csr.indptr[:-1], lengths
+        )
+        cols[rows, slot] = csr.indices
+        vals[rows, slot] = csr.data
+        # fill padding slots (and padding rows) with the row's first col
+        first_col = np.zeros(n_pad, dtype=np.int64)
+        first_col[:n] = np.where(lengths > 0, csr.indices[
+            np.minimum(csr.indptr[:-1], csr.nnz - 1)], 0)
+        # empty rows / padding rows inherit a neighboring row's first col so
+        # they never widen their lane tile's window
+        for r_ in range(1, n_pad):
+            if r_ >= n or lengths[r_] == 0:
+                first_col[r_] = first_col[r_ - 1]
+        pad_mask = np.arange(k_pad)[None, :] >= np.concatenate(
+            [lengths, np.zeros(n_pad - n, dtype=lengths.dtype)])[:, None]
+        cols = np.where(pad_mask, first_col[:, None], cols)
+        # per-lane-tile window base (x-tile units) and width
+        n_lt = n_pad // _LANE
+        tile_of = cols >> 7  # (n_pad, k_pad)
+        tile_of_lt = tile_of.reshape(n_lt, _LANE, k_pad)
+        lo_t = tile_of_lt.min(axis=(1, 2))
+        hi_t = tile_of_lt.max(axis=(1, 2))
+        # the kernel slices an 8-x-tile window per lane tile; pad x by 8
+        # tiles so no base ever clamps (a clamp near the end would inflate
+        # the GLOBAL static t_win and slow every block — measured 2.6x)
+        s_need = s_tiles + 8
+        base2 = lo_t.astype(np.int32)
+        t_win = int((hi_t - base2).max()) + 1
+        if t_win > min(max_t_win, 8):
+            return None
+        rel = cols - (base2.astype(np.int64).repeat(_LANE)[:, None] << 7)
+        assert rel.min() >= 0 and rel.max() < 8 * _LANE
+        return PallasELL(
+            colsT_rel=jnp.asarray(rel.T.astype(np.int32)),
+            valsT=jnp.asarray(vals.T, dtype=dtype),
+            base2=jnp.asarray(base2),
+            shape=(n, m),
+            t_win=t_win,
+            m_pad=s_need * _LANE,
+            block_rows=block_rows,
+            nnz=csr.nnz,
+            interpret=interpret,
+        )
+
+    @property
+    def nnz_dense(self) -> int:
+        """Streamed (padded) slots — the kernel's actual HBM footprint."""
+        return self.valsT.size
+
+    @property
+    def x2d_rows(self) -> int:
+        return self.m_pad // _LANE
+
+    def pad_x(self, x: jax.Array) -> jax.Array:
+        """Logical (m,) vector -> padded 2D VMEM layout (m_pad/128, 128)."""
+        x = x.astype(self.valsT.dtype)
+        xp = jnp.zeros((self.m_pad,), x.dtype).at[: self.shape[1]].set(x)
+        return xp.reshape(-1, _LANE)
+
+    def unpad_y(self, y2d: jax.Array) -> jax.Array:
+        return y2d.reshape(-1)[: self.shape[0]]
+
+    def spmv(self, x: jax.Array, *, interpret: bool | None = None) -> jax.Array:
+        """``y = A x`` via the Pallas kernel.  ``x`` is the logical (m,)
+        vector; padding/unpadding and the 2D VMEM view are internal.
+
+        Chained callers should prefer :meth:`spmv2d` on the padded layout —
+        the per-call pad/unpad copies here cost ~40% on top of the kernel.
+        """
+        return self.unpad_y(self.spmv2d(self.pad_x(x), interpret=interpret))
+
+    def spmv2d(self, x2d: jax.Array, *,
+               interpret: bool | None = None) -> jax.Array:
+        """Padded-layout product: ``x2d`` is ``(m_pad/128, 128)`` (see
+        :meth:`pad_x`), returns ``y2d`` of shape ``(n_pad/128, 128)`` whose
+        padding rows are exact zeros."""
+        interpret = self.interpret if interpret is None else interpret
+        k_pad, n_pad = self.colsT_rel.shape
+        r = self.block_rows
+        nb = n_pad // r
+        nlt = r // _LANE
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _spmv_kernel, k=k_pad, r=r, t_win=self.t_win
+            ),
+            out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
+                                           self.valsT.dtype),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * k_pad * n_pad,
+                bytes_accessed=8 * k_pad * n_pad + 4 * (self.m_pad + n_pad),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(self.base2, self.colsT_rel, self.valsT, x2d)
+        return out
+
+
+def rcm_prepared(csr: HostCSR, dtype=jnp.float32, **kw):
+    """Convenience: RCM-permute ``csr`` and build the kernel layout.
+
+    Returns ``(pallas_ell | None, perm)`` — solve in the permuted frame
+    (``y_perm = A_perm x_perm``), translating with ``x_perm = x[perm]``.
+    """
+    perm = csr.rcm_permutation()
+    Ap = csr.permute(perm)
+    return PallasELL.build(Ap, dtype=dtype, **kw), perm

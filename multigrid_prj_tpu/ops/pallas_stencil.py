@@ -203,6 +203,91 @@ def _rbgs_fused_kernel(u_ref, un_ref, us_ref, b_ref, bn_ref, bs_ref, out_ref,
     out_ref[:] = x[_HALO:_HALO + r, :]
 
 
+_MAX_FUSED_APPLIES = 8  # A^s u: dependency ring grows 1 row/apply
+
+
+def _apply_fused_kernel(u_ref, un_ref, us_ref, out_ref, *, c, m, r, nl, ml,
+                        applies):
+    """``y = A^applies u`` in ONE memory pass (temporal blocking).
+
+    Chained operator applies (power iterations, smoother-free Richardson
+    chains, throughput benchmarks) are dependent sweeps just like the fused
+    smoothers: each apply corrupts one more ring row from the unavailable
+    far neighbors, so up to 8 applies per 8-row halo block leave the core
+    rows bit-identical to 8 separate kernel launches while reading ``u``
+    from HBM once.  Boundary (Dirichlet identity) rows are replayed each
+    apply, exactly as separate launches would.
+    """
+    i = pl.program_id(0)
+    ext = r + 2 * _HALO
+    x = jnp.concatenate([un_ref[:], u_ref[:], us_ref[:]], axis=0)
+    row = i * r - _HALO + jax.lax.broadcasted_iota(jnp.int32, (ext, m), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ext, m), 1)
+    boundary = (row <= 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
+    for _ in range(applies):
+        north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+        south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+        west = pltpu.roll(x, 1, axis=1)
+        east = pltpu.roll(x, m - 1, axis=1)
+        stencil = c * (4.0 * x - north - south - east - west)
+        x = jnp.where(boundary, x, stencil)
+    out_ref[:] = x[_HALO:_HALO + r, :]
+
+
+def poisson_apply_chain(u: jax.Array, alpha: float, h: float, applies: int,
+                        logical_shape=None, dst=None) -> jax.Array:
+    """``A^applies u`` via temporally-fused kernels (up to 8 applies per HBM
+    pass), ping-ponging two buffers between fused groups.  Bit-identical to
+    ``applies`` separate :func:`poisson_apply` calls on the core rows.
+
+    ``dst``: optional output buffer for a single fused group
+    (``applies <= 8``) so callers can run their own ping-pong chains with
+    zero loop-carry copies (see ``_call``)."""
+    if not _is_supported(u.shape, u.dtype):
+        x = u
+        for _ in range(applies):
+            x = _xla.poisson_apply(x, alpha, h, logical_shape)
+        return x
+    n, m = u.shape
+    c = alpha / (h * h)
+    # budget as the 3-operand fused smoothers: the temporal working set
+    # ((r+16, m) extended iterate + neighbor temps) lives on the VMEM
+    # stack — r=64 at m=8192 measured 0.5 MB over the 16 MB scoped limit
+    r = _pick_block_rows(n, m, 3)
+
+    def group(x, y, s):
+        def body(*refs):  # (u, un, us, out)
+            return _apply_fused_kernel(*refs, c=c, m=m, r=r,
+                                       nl=(int(logical_shape[0])
+                                           if logical_shape else n),
+                                       ml=(int(logical_shape[1])
+                                           if logical_shape else m),
+                                       applies=s)
+
+        center, north, south = _edge_specs(n, m, r)
+        in_specs = [center, north, south, pl.BlockSpec(memory_space=pl.ANY)]
+
+        def wrapped(*refs):  # drop the never-read dst ref
+            return body(*refs[:-2], refs[-1])
+
+        return pl.pallas_call(
+            wrapped,
+            out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
+            grid=(n // r,),
+            in_specs=in_specs,
+            out_specs=center,
+            input_output_aliases={3: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=s * 6 * n * m, bytes_accessed=2 * 4 * n * m,
+                transcendentals=0,
+            ),
+        )(x, x, x, y)
+
+    if dst is not None and applies <= _MAX_FUSED_APPLIES:
+        return group(u, dst, applies)
+    return _pingpong_groups(group, u, applies, _MAX_FUSED_APPLIES)
+
+
 _MAX_FUSED_JACOBI = 8  # Jacobi's dependency ring grows 1 row/sweep
 
 

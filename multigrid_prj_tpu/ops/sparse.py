@@ -20,8 +20,10 @@ reference's setup/solve split — while the *solve* phase streams a fixed
 sparsity pattern on device.  The device format is ELL (rows padded to a
 fixed ``K`` nonzeros): ``y = sum_k vals[:, k] * x[cols[:, k]]`` is a dense
 gather + multiply-add that XLA vectorises over (8, 128) tiles, with padding
-entries pointing at column 0 with value 0.  A Pallas row-block kernel for
-the same format lives in ``ops/pallas_spmv.py``.
+entries pointing at column 0 with value 0.  The XLA gather lowering is slow
+on TPU (~2 Gnnz/s measured on v5e); the banded-window Pallas kernel in
+``ops/pallas_spmv.py`` (``PallasELL``) replaces it on the hot path, with
+this implementation as the universal fallback.
 """
 
 from __future__ import annotations

@@ -1,35 +1,39 @@
-"""Multi-chip geometric multigrid: block-row sharding + ICI halo exchange.
+"""Multi-chip geometric multigrid: block-slab sharding + ICI/DCN halo
+exchange, for 2D and 3D grids.
 
 This is the distribution layer the reference never had (its only parallelism
 was OpenMP loop pragmas, SURVEY.md §2.4).  TPU-native design, following the
 standard JAX recipe:
 
-* the fine grid ``(n, n)`` is block-row sharded over a 1D
-  ``jax.sharding.Mesh`` axis ``"x"`` — each device owns ``R = n / P`` rows;
-* every stencil/smoother sweep exchanges ONE halo row with each neighbor
-  via ``jax.lax.ppermute`` (a fixed-neighbor ICI transfer XLA can overlap
-  with the interior compute);
-* norms and convergence checks are ``lax.psum`` reductions, so all shards
-  agree on loop control inside a single ``shard_map``-ped solve;
-* grid transfer stays local: row coarsening by 2 aligns with the block
-  boundary as long as ``R`` is even, so a level keeps its sharding until the
-  per-shard row count gets small, at which point the residual is
-  ``all_gather``-ed and the remaining coarse levels run replicated (every
-  device redundantly — standard practice, they are tiny);
-* the edge shards receive zero halos from ``ppermute``; those rows are
-  exactly the global Dirichlet rows, which every kernel masks to identity —
-  the same trick the single-chip Pallas kernels use.
+* the fine grid (``(n, m)`` or ``(n, m, k)``) is block-sharded on its
+  LEADING axis over the mesh — rows in 2D, slabs in 3D;
+* the mesh may be 1D (``("x",)`` — a single ICI ring) or 2D
+  (``("dcn", "x")`` — multi-host: "x" is the fast intra-slice ICI axis,
+  "dcn" the slow cross-host axis).  Slabs are laid out dcn-major, so
+  almost every halo exchange is a fixed-neighbor ``ppermute`` riding ICI;
+  only the per-group edge slab crosses DCN (one extra ppermute pair);
+* every stencil/smoother sweep exchanges ONE halo slab per neighbor; the
+  sweep is split into an INTERIOR part (no remote dependence — XLA's
+  latency-hiding scheduler overlaps it with the in-flight ppermute) and the
+  two edge slabs that consume the halos (SURVEY.md §7.4.4 overlap);
+* norms and convergence checks are ``lax.psum`` reductions over all mesh
+  axes, so the whole outer solve (pre-smooths + V-cycle + residual history
+  + while_loop control) is ONE jitted ``shard_map`` program;
+* grid transfer stays local while the per-shard slab count is even; deeper
+  levels are ``all_gather``-ed and run replicated (they are tiny);
+* edge shards receive zero halos; those slabs are exactly the global
+  Dirichlet boundary, which every kernel masks to identity.
 
-The whole outer solve (pre-smooths + V-cycle + residual history +
-``while_loop`` control) is ONE jitted ``shard_map`` program: zero host
-round-trips, collectives riding ICI.
+Multi-host bring-up is env-driven and optional —
+``parallel/distributed.py:maybe_initialize_distributed``.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,67 +43,163 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from multigrid_prj_tpu.gmg import SolveResult, v_cycle as replicated_v_cycle
 from multigrid_prj_tpu.grids import GridLevel, build_hierarchy
 from multigrid_prj_tpu.ops.smoothers import make_smoother
+from multigrid_prj_tpu.ops.transfer import _fw_axis, _refine_axis
 
-AXIS = "x"
+AXIS = "x"  # the fast (ICI) axis; an optional "dcn" axis majors it
+
+
+def row_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Mesh axes the leading grid axis is sharded over (dcn-major)."""
+    return ("dcn", AXIS) if "dcn" in mesh.axis_names else (AXIS,)
+
+
+def _axes_size(axes) -> jax.Array:
+    s = 1
+    for a in axes:
+        s = s * lax.axis_size(a)
+    return s
+
+
+def global_shard_index(axes) -> jax.Array:
+    """Linear shard id over (possibly) two mesh axes, minor axis fastest."""
+    idx = lax.axis_index(axes[-1])
+    if len(axes) == 2:
+        idx = idx + lax.axis_index(axes[0]) * lax.axis_size(axes[-1])
+    return idx
 
 
 # ---------------------------------------------------------------------------
-# Local (per-shard) building blocks.  All take/return the shard's row block.
+# Halo exchange (leading axis; 2D rows or 3D planes)
 # ---------------------------------------------------------------------------
 
 
-def _halo_rows(u: jax.Array, axis_name: str = AXIS):
-    """(top, bottom) halo rows from the neighbors; zeros at the ends."""
-    p = lax.axis_size(axis_name)
-    top = lax.ppermute(u[-1:, :], axis_name, [(i, i + 1) for i in range(p - 1)])
-    bot = lax.ppermute(u[:1, :], axis_name, [(i, i - 1) for i in range(1, p)])
+def _halo_slabs(u: jax.Array, axes: Tuple[str, ...]):
+    """(top, bottom) neighbor halo slabs; zeros at the global ends.
+
+    1D mesh: one ppermute pair on the ICI axis.  2D (dcn, x) mesh: the
+    within-group edges ride ICI; each group's boundary slab additionally
+    crosses the DCN axis (bounced via the group's ici-0 / ici-last shard).
+    """
+    ici = axes[-1]
+    pi = lax.axis_size(ici)
+    top = lax.ppermute(u[-1:], ici, [(i, i + 1) for i in range(pi - 1)])
+    bot = lax.ppermute(u[:1], ici, [(i, i - 1) for i in range(1, pi)])
+    if len(axes) == 2:
+        dcn = axes[0]
+        pd = lax.axis_size(dcn)
+        if pd > 1:
+            # group d's LAST slab -> group d+1's ici-0 shard (its top halo):
+            # bounce to ici 0 within the group, then one DCN hop.
+            t1 = lax.ppermute(u[-1:], ici, [(pi - 1, 0)])
+            t2 = lax.ppermute(t1, dcn, [(d, d + 1) for d in range(pd - 1)])
+            # group d's FIRST slab -> group d-1's ici-last shard (bottom halo)
+            b1 = lax.ppermute(u[:1], ici, [(0, pi - 1)])
+            b2 = lax.ppermute(b1, dcn, [(d, d - 1) for d in range(1, pd)])
+            ii = lax.axis_index(ici)
+            top = jnp.where(ii == 0, t2, top)
+            bot = jnp.where(ii == pi - 1, b2, bot)
     return top, bot
 
 
-def _global_row_col(shape_local, n_global):
-    i = lax.axis_index(AXIS)
-    r_local = shape_local[0]
-    row = i * r_local + jax.lax.broadcasted_iota(jnp.int32, shape_local, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, shape_local, 1)
-    return row, col
+def norm2_psum(x: jax.Array, axes: Tuple[str, ...]) -> jax.Array:
+    return lax.psum(jnp.sum(x * x), axes)
 
 
-def _boundary_mask_local(shape_local, n_global, m_global):
-    row, col = _global_row_col(shape_local, n_global)
-    return (row == 0) | (row == n_global - 1) | (col == 0) | (col == m_global - 1)
+# ---------------------------------------------------------------------------
+# Local (per-shard) building blocks — rank-generic (2D / 3D)
+# ---------------------------------------------------------------------------
+
+
+def _global_coords(shape_local, axes):
+    """Per-point global index arrays (leading axis globalized)."""
+    i = global_shard_index(axes)
+    coords = []
+    for ax in range(len(shape_local)):
+        c = jax.lax.broadcasted_iota(jnp.int32, tuple(shape_local), ax)
+        if ax == 0:
+            c = c + i * shape_local[0]
+        coords.append(c)
+    return coords
+
+
+def _boundary_mask_local(shape_local, global_shape, axes):
+    coords = _global_coords(shape_local, axes)
+    m = None
+    for c, n in zip(coords, global_shape):
+        this = (c == 0) | (c == n - 1)
+        m = this if m is None else (m | this)
+    return m
+
+
+def _shift_local(a, ax, off):
+    """Zero-padded shift along a LOCAL (non-leading) axis."""
+    sl = [slice(None)] * a.ndim
+    pad = [(0, 0)] * a.ndim
+    if off == +1:
+        sl[ax] = slice(1, None)
+        pad[ax] = (0, 1)
+    else:
+        sl[ax] = slice(None, -1)
+        pad[ax] = (1, 0)
+    return jnp.pad(a[tuple(sl)], pad)
 
 
 def _neighbor_sum_local(u, top, bot):
-    north = jnp.concatenate([top, u[:-1, :]], axis=0)
-    south = jnp.concatenate([u[1:, :], bot], axis=0)
-    west = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
-    east = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
-    return north + south + east + west
+    """Sum of the 2*ndim neighbors, halos supplying the leading-axis edges."""
+    north = jnp.concatenate([top, u[:-1]], axis=0)
+    south = jnp.concatenate([u[1:], bot], axis=0)
+    s = north + south
+    for ax in range(1, u.ndim):
+        s = s + _shift_local(u, ax, +1) + _shift_local(u, ax, -1)
+    return s
 
 
-def poisson_apply_local(u, alpha, h, n_global, m_global):
+def _neighbor_sum_inner(u):
+    """Neighbor sum for the interior slabs ``u[1:-1]`` only — needs NO halo,
+    so XLA can overlap it with the in-flight ppermute (SURVEY §7.4.4)."""
+    s = u[:-2] + u[2:]
+    inner = u[1:-1]
+    for ax in range(1, u.ndim):
+        s = s + _shift_local(inner, ax, +1) + _shift_local(inner, ax, -1)
+    return s
+
+
+def poisson_apply_local(u, alpha, h, global_shape, axes):
     c = alpha / (h * h)
-    top, bot = _halo_rows(u)
-    bmask = _boundary_mask_local(u.shape, n_global, m_global)
-    interior = c * (4.0 * u - _neighbor_sum_local(u, top, bot))
+    top, bot = _halo_slabs(u, axes)
+    bmask = _boundary_mask_local(u.shape, global_shape, axes)
+    diag = 2.0 * u.ndim
+    interior = c * (diag * u - _neighbor_sum_local(u, top, bot))
     return jnp.where(bmask, u, interior)
 
 
-def residual_local(u, b, alpha, h, n_global, m_global):
-    return b - poisson_apply_local(u, alpha, h, n_global, m_global)
+def residual_local(u, b, alpha, h, global_shape, axes):
+    return b - poisson_apply_local(u, alpha, h, global_shape, axes)
 
 
-def rbgs_local(u, b, alpha, h, n_global, m_global, sweeps: int = 1):
-    """Red-black GS with one halo exchange per color pass."""
+def rbgs_local(u, b, alpha, h, global_shape, axes, sweeps: int = 1):
+    """Red-black GS, one halo exchange per color pass, interior/edge split
+    so the exchange overlaps the interior update."""
     c = alpha / (h * h)
-    bmask = _boundary_mask_local(u.shape, n_global, m_global)
-    row, col = _global_row_col(u.shape, n_global)
-    parity = (row + col) % 2
+    bmask = _boundary_mask_local(u.shape, global_shape, axes)
+    coords = _global_coords(u.shape, axes)
+    parity = sum(coords) % 2
+    inv_diag = 1.0 / (2.0 * u.ndim)
     b_over_c = b / c
 
     def one_color(u, color):
-        top, bot = _halo_rows(u)
-        gs = (b_over_c + _neighbor_sum_local(u, top, bot)) * 0.25
+        top, bot = _halo_slabs(u, axes)  # issued before interior compute
+        gs_inner = (b_over_c[1:-1] + _neighbor_sum_inner(u)) * inv_diag
+        first = u[:1]
+        last = u[-1:]
+        ns_first = top + u[1:2]
+        ns_last = u[-2:-1] + bot
+        for ax in range(1, u.ndim):
+            ns_first = ns_first + _shift_local(first, ax, +1) + _shift_local(first, ax, -1)
+            ns_last = ns_last + _shift_local(last, ax, +1) + _shift_local(last, ax, -1)
+        gs_first = (b_over_c[:1] + ns_first) * inv_diag
+        gs_last = (b_over_c[-1:] + ns_last) * inv_diag
+        gs = jnp.concatenate([gs_first, gs_inner, gs_last], axis=0)
         u = jnp.where((parity == color) & ~bmask, gs, u)
         return jnp.where(bmask, b, u)
 
@@ -114,72 +214,49 @@ def rbgs_local(u, b, alpha, h, n_global, m_global, sweeps: int = 1):
     return lax.fori_loop(0, sweeps, lambda _, v: one_sweep(v), u)
 
 
-def norm2_psum(x):
-    return lax.psum(jnp.sum(x * x), AXIS)
-
-
-def restrict_fw_local(r, n_global, m_global):
-    """Full-weighting restriction of a block-row shard (R rows -> R/2).
-
-    Row filter uses the halo rows; global edge rows are injected (they carry
-    the Dirichlet residual, which the coarse smoother re-pins anyway).
-    """
-    top, bot = _halo_rows(r)
-    rp = jnp.concatenate([top, r, bot], axis=0)  # (R+2, m)
+def restrict_fw_local(r, global_shape, axes):
+    """Full-weighting restriction of a leading-axis shard (R slabs -> R/2);
+    trailing axes are fully local (ops/transfer._fw_axis semantics)."""
+    top, bot = _halo_slabs(r, axes)
+    rp = jnp.concatenate([top, r, bot], axis=0)  # (R+2, ...)
     R = r.shape[0]
-    # coarse local row k <- fine rows 2k-1, 2k, 2k+1 == rp[2k], rp[2k+1], rp[2k+2]
+    n_global = global_shape[0]
     rows = 0.25 * rp[0:R:2] + 0.5 * rp[1: R + 1: 2] + 0.25 * rp[2: R + 2: 2]
-    # Global low edge: inject (true Dirichlet row, residual ~0).  Global high
-    # edge: inject for odd n; ZERO for even n — the fake coarse boundary must
-    # not carry residual (see ops/transfer._fw_axis).
-    i = lax.axis_index(AXIS)
+    i = global_shard_index(axes)
     Rc = R // 2
     nc = (n_global + 1) // 2
     grow = i * Rc + jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0)
+    # global low edge: inject (true Dirichlet slab).  High edge: inject for
+    # odd n; ZERO for even n (fake coarse boundary must carry no residual —
+    # see ops/transfer._fw_axis).
     rows = jnp.where(grow == 0, rp[1: R + 1: 2], rows)
     if n_global % 2 == 0:
         rows = jnp.where(grow == nc - 1, 0.0, rows)
     else:
         rows = jnp.where(grow == nc - 1, rp[1: R + 1: 2], rows)
-    # column filter (columns are fully local; same edge rules)
-    m = m_global
-    if m % 2 == 0:
-        interior = (
-            0.25 * rows[:, 1: m - 3: 2]
-            + 0.5 * rows[:, 2: m - 2: 2]
-            + 0.25 * rows[:, 3: m - 1: 2]
-        )
-        zero = jnp.zeros_like(rows[:, :1])
-        return jnp.concatenate([rows[:, :1], interior, zero], axis=1)
-    interior = (
-        0.25 * rows[:, 1: m - 2: 2] + 0.5 * rows[:, 2: m - 1: 2] + 0.25 * rows[:, 3: m: 2]
-    )
-    return jnp.concatenate([rows[:, :1], interior, rows[:, m - 1:]], axis=1)
+    for ax in range(1, r.ndim):
+        rows = _fw_axis(rows, ax)
+    return rows
 
 
-def prolong_local(e, fine_rows: int, m_fine: int):
-    """Bilinear prolongation of a coarse shard (Rc rows) to its fine shard
-    (R = 2 Rc rows), pulling one coarse halo row from the next shard."""
-    p = lax.axis_size(AXIS)
-    i = lax.axis_index(AXIS)
-    _, bot = _halo_rows(e)
-    # last shard clamps to its own last row (general-n edge handling)
-    bot = jnp.where(i == p - 1, e[-1:, :], bot)
-    nxt = jnp.concatenate([e[1:, :], bot], axis=0)
+def prolong_local(e, fine_slabs: int, fine_trailing: Tuple[int, ...],
+                  axes: Tuple[str, ...]):
+    """Linear prolongation of a coarse shard (Rc slabs) to its fine shard
+    (R = 2 Rc slabs), pulling one coarse halo slab from the next shard;
+    trailing axes refine locally."""
+    _, bot = _halo_slabs(e, axes)
+    # last shard clamps to its own last slab (general-n edge handling)
+    idx = global_shard_index(axes)
+    p = _axes_size(axes)
+    bot = jnp.where(idx == p - 1, e[-1:], bot)
+    nxt = jnp.concatenate([e[1:], bot], axis=0)
     mid = 0.5 * (e + nxt)
-    Rc, m = e.shape
-    inter = jnp.stack([e, mid], axis=1).reshape(2 * Rc, m)  # rows 2k, 2k+1
-    # columns: refine m -> m_fine (fully local)
-    ncol = m
-    head = inter[:, : ncol - 1]
-    cmid = 0.5 * (head + inter[:, 1:])
-    stacked = jnp.stack([head, cmid], axis=2).reshape(2 * Rc, 2 * (ncol - 1))
-    out = jnp.concatenate([stacked, inter[:, ncol - 1:]], axis=1)  # 2 nc - 1
-    if m_fine == 2 * ncol:
-        out = jnp.concatenate([out, inter[:, ncol - 1:]], axis=1)
-    elif m_fine != 2 * ncol - 1:
-        raise ValueError(f"cannot refine {ncol} columns to {m_fine}")
-    return out[:fine_rows]
+    Rc = e.shape[0]
+    inter = jnp.stack([e, mid], axis=1).reshape((2 * Rc,) + e.shape[1:])
+    out = inter[:fine_slabs]
+    for ax, target in enumerate(fine_trailing, start=1):
+        out = _refine_axis(out, ax, int(target))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -188,11 +265,12 @@ def prolong_local(e, fine_rows: int, m_fine: int):
 
 
 class ShardedGMGSolver:
-    """Block-row-sharded GMG V-cycle solver over a 1D device mesh.
+    """Block-slab-sharded GMG V-cycle solver over a 1D ``("x",)`` or 2D
+    ``("dcn", "x")`` device mesh, for 2D and 3D Poisson problems.
 
     ``num_sharded_levels`` levels run distributed with ppermute halo
     exchange; deeper levels are gathered and run replicated.  Requires the
-    fine ``n`` divisible by ``2^(num_sharded_levels - 1) * n_devices``.
+    leading extent divisible by ``2^(num_sharded - 1) * n_shards``.
     """
 
     def __init__(
@@ -209,10 +287,11 @@ class ShardedGMGSolver:
         maxit: int = 100,
         min_rows_per_shard: int = 8,
     ):
-        if len(shape) != 2:
-            raise ValueError("sharded solver is 2D (3D: roadmap)")
+        if len(shape) not in (2, 3):
+            raise ValueError("sharded solver supports 2D and 3D grids")
         self.mesh = mesh
-        self.p = mesh.devices.size
+        self._axes = row_axes(mesh)
+        self.p = int(math.prod(mesh.shape[a] for a in self._axes))
         self.levels = build_hierarchy(shape, length, num_levels)
         self.alpha = float(alpha)
         self.nu1, self.nu2 = nu1, nu2
@@ -220,8 +299,8 @@ class ShardedGMGSolver:
         self.tol, self.maxit = float(tol), int(maxit)
 
         # How many levels can stay sharded: a sharded level restricts R ->
-        # R/2 rows locally, so it needs n divisible by 2*P (even local row
-        # count) and enough rows per shard to be worth distributing.
+        # R/2 slabs locally, so it needs n divisible by 2*P (even local slab
+        # count) and enough slabs per shard to be worth distributing.
         ls = 0
         for lev in self.levels[:-1]:
             n = lev.shape[0]
@@ -231,26 +310,29 @@ class ShardedGMGSolver:
                 break
         if ls == 0:
             raise ValueError(
-                f"rows {shape[0]} not shardable over {self.p} devices "
-                f"(need divisibility and >= {min_rows_per_shard} rows/shard)"
+                f"leading extent {shape[0]} not shardable over {self.p} "
+                f"shards (need divisibility and >= {min_rows_per_shard} "
+                "slabs/shard)"
             )
         self.num_sharded = min(ls, len(self.levels))
         self.smoother = make_smoother("gs")
-        self.sharding = NamedSharding(mesh, P(AXIS, None))
+        trailing = (None,) * (len(shape) - 1)
+        self.spec = P(self._axes, *trailing)
+        self.sharding = NamedSharding(mesh, self.spec)
         self._jit_solve = jax.jit(
             jax.shard_map(
                 self._solve_local,
                 mesh=mesh,
-                in_specs=(P(AXIS, None), P(AXIS, None)),
-                out_specs=(P(AXIS, None), P(), P()),
+                in_specs=(self.spec, self.spec),
+                out_specs=(self.spec, P(), P()),
             )
         )
         self._jit_step = jax.jit(
             jax.shard_map(
                 lambda u, b: self._v_local(u, b, 0),
                 mesh=mesh,
-                in_specs=(P(AXIS, None), P(AXIS, None)),
-                out_specs=P(AXIS, None),
+                in_specs=(self.spec, self.spec),
+                out_specs=self.spec,
             )
         )
 
@@ -258,38 +340,40 @@ class ShardedGMGSolver:
 
     def _v_local(self, u, b, level: int):
         lev = self.levels[level]
-        n, m = lev.shape
+        gshape = lev.shape
         h = lev.h
         a = self.alpha
-        u = rbgs_local(u, b, a, h, n, m, self.nu1)
-        r = residual_local(u, b, a, h, n, m)
-        rc = restrict_fw_local(r, n, m)
+        axes = self._axes
+        u = rbgs_local(u, b, a, h, gshape, axes, self.nu1)
+        r = residual_local(u, b, a, h, gshape, axes)
+        rc = restrict_fw_local(r, gshape, axes)
         nlev = self.levels[level + 1]
         if level + 1 < self.num_sharded:
             ec = self._v_local(jnp.zeros_like(rc), rc, level + 1)
         else:
             # gather the coarse residual, run the remaining levels replicated
-            r_full = lax.all_gather(rc, AXIS, axis=0, tiled=True)
+            r_full = lax.all_gather(rc, axes, axis=0, tiled=True)
             e_full = replicated_v_cycle(
                 jnp.zeros_like(r_full), r_full, self.levels[level + 1:],
                 a, self.smoother, nu1=self.nu1, nu2=self.nu2,
                 coarse_sweeps=self.coarse_sweeps,
             )
             rc_rows = nlev.shape[0] // self.p
-            i = lax.axis_index(AXIS)
+            i = global_shard_index(axes)
             ec = lax.dynamic_slice_in_dim(e_full, i * rc_rows, rc_rows, axis=0)
-        u = u + prolong_local(ec, u.shape[0], m)
-        return rbgs_local(u, b, a, h, n, m, self.nu2)
+        u = u + prolong_local(ec, u.shape[0], gshape[1:], axes)
+        return rbgs_local(u, b, a, h, gshape, axes, self.nu2)
 
     def _solve_local(self, u, b):
         lev0 = self.levels[0]
-        n, m = lev0.shape
+        gshape = lev0.shape
         a, h = self.alpha, lev0.h
-        b2 = norm2_psum(b)
+        axes = self._axes
+        b2 = norm2_psum(b, axes)
 
         def rel(u):
-            r = residual_local(u, b, a, h, n, m)
-            return jnp.sqrt(norm2_psum(r) / b2)
+            r = residual_local(u, b, a, h, gshape, axes)
+            return jnp.sqrt(norm2_psum(r, axes) / b2)
 
         hist = jnp.full((self.maxit + 1,), jnp.nan, dtype=b.dtype)
         hist = hist.at[0].set(rel(u))

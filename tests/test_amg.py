@@ -253,3 +253,29 @@ def test_amg_rejects_f64_without_x64():
             AMGSolver(A, num_levels=2, dtype=jnp.float64)
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_amg_pallas_spmv_path():
+    """AMGSolver with the Pallas SpMV path (interpret mode on CPU): RCM
+    reorder is internal, results match the plain XLA path."""
+    A = fd_poisson(40)  # 1600 rows
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(A.shape[0])
+    plain = AMGSolver(A, num_levels=3, dtype=jnp.float32,
+                      smoother="chebyshev", use_pallas=False, reorder="none")
+    fast = AMGSolver(A, num_levels=3, dtype=jnp.float32,
+                     smoother="chebyshev", use_pallas=True,
+                     pallas_interpret=True, reorder="rcm",
+                     pallas_min_rows=512)
+    assert fast._perm is not None
+    assert fast.levels[0].A_fast is not None
+    tol = 1e-5
+    x_p, it_p, rel_p = plain.solve(b, tol=tol, maxit=60)
+    x_f, it_f, rel_f = fast.solve(b, tol=tol, maxit=60)
+    assert rel_f <= tol
+    # the permuted-frame solve must land on the same solution (caller frame)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_p),
+                               rtol=2e-3, atol=2e-4)
+    # true residual in the caller frame
+    r = b - A.spmv(np.asarray(x_f, np.float64))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 5e-5

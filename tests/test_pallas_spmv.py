@@ -1,0 +1,101 @@
+"""Pallas ELL SpMV kernel vs the host CSR oracle (interpreter mode — the
+compiled path runs on hardware via benchmarks/spmv_bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multigrid_prj_tpu.ops.pallas_spmv import PallasELL, rcm_prepared
+from multigrid_prj_tpu.ops.sparse import HostCSR
+
+
+def fd_poisson(n):
+    N = n * n
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        for j in range(n):
+            r = i * n + j
+            rows.append(r); cols.append(r); vals.append(4.0)
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < n and 0 <= jj < n:
+                    rows.append(r); cols.append(ii * n + jj); vals.append(-1.0)
+    return HostCSR.from_coo(rows, cols, vals, (N, N))
+
+
+@pytest.mark.parametrize("n", [10, 23])
+def test_spmv_matches_oracle_fd(n):
+    A = fd_poisson(n)
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    assert pA is not None
+    assert pA.t_win <= 8  # tiny matrices sit whole inside one 8-tile window
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    got = np.asarray(pA.spmv(jnp.asarray(x), interpret=True), np.float64)
+    want = A.spmv(x.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_spmv_matches_oracle_fem_rcm():
+    from multigrid_prj_tpu.models.fem import assemble_p1, structured_unit_square_mesh
+
+    mesh = structured_unit_square_mesh(20)
+    A, _ = assemble_p1(mesh)
+    pA, perm = rcm_prepared(A, dtype=jnp.float32, block_rows=1024)
+    assert pA is not None and pA.t_win <= 6
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(A.shape[1])
+    got = np.asarray(
+        pA.spmv(jnp.asarray(x[perm], jnp.float32), interpret=True), np.float64
+    )
+    want = A.permute(perm).spmv(x[perm])
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-5 * max(scale, 1.0)
+
+
+def test_rectangular_prolongation_spmv():
+    """P (n_fine x n_coarse) rides the same kernel: coarse numbering is
+    monotone in the (banded) fine order, so P is banded too."""
+    from multigrid_prj_tpu.amg import build_prolongation, coarsen_pmis
+
+    A = fd_poisson(16)
+    perm = A.rcm_permutation()
+    Ap = A.permute(perm)
+    labels = coarsen_pmis(Ap, 0.2, seed=1)
+    P = build_prolongation(Ap, labels)
+    pP = PallasELL.build(P, dtype=jnp.float32, block_rows=1024)
+    assert pP is not None
+    rng = np.random.default_rng(2)
+    xc = rng.standard_normal(P.shape[1]).astype(np.float32)
+    got = np.asarray(pP.spmv(jnp.asarray(xc), interpret=True), np.float64)
+    want = P.spmv(xc.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_build_refuses_wide_band():
+    """A matrix with a full-width row (no banding possible) must fall back."""
+    n = 4096
+    rng = np.random.default_rng(3)
+    rows = np.repeat(np.arange(n), 2)
+    cols = rng.integers(0, n, size=2 * n)  # scattered: RCM cannot band this
+    vals = np.ones(2 * n)
+    A = HostCSR.from_coo(rows, cols, vals, (n, n))
+    assert PallasELL.build(A, max_t_win=4) is None
+
+
+def test_build_refuses_oversize_x():
+    # m too large for VMEM residency -> None (callers keep the XLA path)
+    A = HostCSR.eye(8)
+    A.shape = (8, 3_000_000)
+    assert PallasELL.build(A) is None
+
+
+def test_padded_rows_and_slots_are_zero():
+    A = fd_poisson(5)  # n = 25, heavily padded to block_rows
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    x = np.ones(A.shape[1], np.float32)
+    got = np.asarray(pA.spmv(jnp.asarray(x), interpret=True))
+    assert got.shape == (25,)
+    want = A.spmv(np.ones(25))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

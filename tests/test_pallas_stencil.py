@@ -92,3 +92,18 @@ def test_unsupported_shape_falls_back(ub):
     got = ps.poisson_apply(u, ALPHA, H)
     want = xs.poisson_apply(u, ALPHA, H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+@pytest.mark.parametrize("applies", [1, 3, 8, 11])
+def test_apply_chain_matches_sequential(ub, applies):
+    """Fused A^s u must be bit-identical (here: fp-equal) to s separate
+    applies on the core rows.  Uses c ~= 1 (alpha = h^2) so 11 chained
+    applies stay within f32 range (growth ~ 8^s, not (8c)^s)."""
+    u, _ = ub
+    alpha, h = 1.0, 1.0
+    want = u
+    for _ in range(applies):
+        want = xs.poisson_apply(want, alpha, h)
+    with pltpu.force_tpu_interpret_mode():
+        got = ps.poisson_apply_chain(u, alpha, h, applies)
+    _assert_close_normalized(got, want, tol=1e-5)
