@@ -140,39 +140,41 @@ def measure_stencil_chains(n: int, iters: int):
     return fused, single, nnz
 
 
-def measure_ell_spmv():
-    """Pallas ELL SpMV nnz/s on a 1M-row banded system (ops/pallas_spmv)."""
+def measure_ell_spmv(n: int = 1 << 20, delta: int = 200):
+    """Pallas ELL SpMV nnz/s on an n-row banded system (ops/pallas_spmv).
+
+    Differential timing (chain of K vs K+D dependent SpMVs, subtract) so
+    the ~30-40 ms tunnel dispatch latency cancels — round 1's absolute
+    chain timing under-reported the kernel by including it.
+    """
     import numpy as np
 
     from benchmarks.spmv_bench import banded_csr
     from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
 
-    n = 1 << 20
     A = banded_csr(n)
-    pA = PallasELL.build(A, dtype=jnp.float32)
+    interpret = jax.default_backend() == "cpu"
+    pA = PallasELL.build(A, dtype=jnp.float32, interpret=interpret)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
-    iters = 50
 
-    @jax.jit
-    def chain(x):
-        # dependent chain in the padded 2D layout (how a solver inner loop
-        # holds its vectors) — the pad/unpad copies happen once, outside;
-        # the in-place prefix update keeps the loop carry alias-friendly
-        x2d = pA.pad_x(x)
+    def chain(iters):
+        @jax.jit
+        def f(x):
+            # dependent chain in the padded 2D layout (how a solver inner
+            # loop holds its vectors); the in-place prefix update keeps the
+            # loop carry alias-friendly
+            x2d = pA.pad_x(x)
 
-        def body(_, x2d):
-            y2d = pA.spmv2d(x2d)
-            return jax.lax.dynamic_update_slice(x2d, y2d, (0, 0))
+            def body(_, x2d):
+                y2d = pA.spmv2d(x2d)
+                return jax.lax.dynamic_update_slice(x2d, y2d, (0, 0))
 
-        return jax.lax.fori_loop(0, iters, body, x2d)
+            return jax.lax.fori_loop(0, iters, body, x2d)
 
-    _fence(chain(x))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _fence(chain(x))
-        best = min(best, time.perf_counter() - t0)
-    return pA.nnz_dense * iters / best
+        return f
+
+    dt = _timed_pair(chain(delta // 4), chain(delta // 4 + delta), x, delta)
+    return pA.nnz_dense * delta / dt
 
 
 def measure_vcycle_ff32(n: int = 1025, tol: float = 1e-8):

@@ -39,22 +39,38 @@ def banded_csr(n: int, half_band: int = 3, extra: int = 2) -> HostCSR:
 
 
 def bench(fn, x, iters: int, tag: str, slots: int) -> dict:
-    @jax.jit
-    def chain(x):
-        def body(_, acc):
-            y = fn(x)
-            return acc + y[0]
+    """Differential timing: chain of ``iters`` vs ``4*iters`` dependent
+    SpMVs, subtract — cancels the ~30-40 ms tunnel dispatch latency that
+    would otherwise dominate (each SpMV is only ~0.1-1 ms)."""
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+    def make_chain(k):
+        @jax.jit
+        def chain(x):
+            def body(_, xc):
+                y = fn(xc)
+                # feed the output back so iterations are dependent and
+                # cannot be hoisted (same shape: y = A x, square A)
+                return y
 
-    r = chain(x)
-    _ = float(r)  # fence through the remote-dispatch tunnel
-    best = float("inf")
-    for _ in range(3):
+            return jax.lax.fori_loop(0, k, body, x)
+
+        return chain
+
+    few, many = make_chain(iters), make_chain(4 * iters)
+    _ = float(few(x)[0])
+    _ = float(many(x)[0])
+    delta = 3 * iters
+    diffs = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        _ = float(chain(x))
-        best = min(best, time.perf_counter() - t0)
-    nnz_s = slots * iters / best
+        _ = float(few(x)[0])
+        t1 = time.perf_counter()
+        _ = float(many(x)[0])
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    diffs.sort()
+    best = diffs[len(diffs) // 2] / delta
+    nnz_s = slots / best
     out = {
         "metric": f"ell_spmv_{tag}_nnz_per_s",
         "value": nnz_s,

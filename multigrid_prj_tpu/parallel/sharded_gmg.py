@@ -177,9 +177,17 @@ def residual_local(u, b, alpha, h, global_shape, axes):
     return b - poisson_apply_local(u, alpha, h, global_shape, axes)
 
 
-def rbgs_local(u, b, alpha, h, global_shape, axes, sweeps: int = 1):
+def rbgs_local(u, b, alpha, h, global_shape, axes, sweeps: int = 1,
+               overlap: bool = True):
     """Red-black GS, one halo exchange per color pass, interior/edge split
-    so the exchange overlaps the interior update."""
+    so the exchange overlaps the interior update (SURVEY §7.4.4).
+
+    ``overlap=False`` keeps the exchange-then-compute reference schedule
+    (the whole-block neighbor sum data-depends on the ppermute results, so
+    no compute can be issued until the halos arrive) — numerically
+    IDENTICAL, used as the A/B baseline by ``benchmarks/overlap_ab.py``
+    and ``tests/test_sharded_gmg.py``.
+    """
     c = alpha / (h * h)
     bmask = _boundary_mask_local(u.shape, global_shape, axes)
     coords = _global_coords(u.shape, axes)
@@ -189,17 +197,24 @@ def rbgs_local(u, b, alpha, h, global_shape, axes, sweeps: int = 1):
 
     def one_color(u, color):
         top, bot = _halo_slabs(u, axes)  # issued before interior compute
-        gs_inner = (b_over_c[1:-1] + _neighbor_sum_inner(u)) * inv_diag
-        first = u[:1]
-        last = u[-1:]
-        ns_first = top + u[1:2]
-        ns_last = u[-2:-1] + bot
-        for ax in range(1, u.ndim):
-            ns_first = ns_first + _shift_local(first, ax, +1) + _shift_local(first, ax, -1)
-            ns_last = ns_last + _shift_local(last, ax, +1) + _shift_local(last, ax, -1)
-        gs_first = (b_over_c[:1] + ns_first) * inv_diag
-        gs_last = (b_over_c[-1:] + ns_last) * inv_diag
-        gs = jnp.concatenate([gs_first, gs_inner, gs_last], axis=0)
+        if overlap:
+            # interior slabs depend only on local data: XLA's latency-hiding
+            # scheduler runs this while the ppermute is in flight
+            gs_inner = (b_over_c[1:-1] + _neighbor_sum_inner(u)) * inv_diag
+            first = u[:1]
+            last = u[-1:]
+            ns_first = top + u[1:2]
+            ns_last = u[-2:-1] + bot
+            for ax in range(1, u.ndim):
+                ns_first = ns_first + _shift_local(first, ax, +1) + _shift_local(first, ax, -1)
+                ns_last = ns_last + _shift_local(last, ax, +1) + _shift_local(last, ax, -1)
+            gs_first = (b_over_c[:1] + ns_first) * inv_diag
+            gs_last = (b_over_c[-1:] + ns_last) * inv_diag
+            gs = jnp.concatenate([gs_first, gs_inner, gs_last], axis=0)
+        else:
+            # whole-block update consumes the halos up front — every element
+            # of the neighbor sum data-depends on the collective
+            gs = (b_over_c + _neighbor_sum_local(u, top, bot)) * inv_diag
         u = jnp.where((parity == color) & ~bmask, gs, u)
         return jnp.where(bmask, b, u)
 

@@ -157,3 +157,32 @@ def test_sharded_3d_two_axis_mesh():
     b = rhs_3d((n, n, n), 10.0)
     out = sh.solve(b)
     assert out.converged
+
+
+def test_overlap_schedule_bitwise_identical(problem):
+    """overlap=True (interior/edge split) and overlap=False
+    (exchange-then-compute) are the same arithmetic in a different
+    schedule — results must be bitwise equal (benchmarks/overlap_ab.py
+    relies on this)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multigrid_prj_tpu.parallel.sharded_gmg import AXIS, rbgs_local
+
+    mesh = make_mesh(8)
+    spec = P("x", None)
+    _, b = problem
+    b = jnp.asarray(b, jnp.float64)
+    u = jnp.zeros_like(b)
+    gshape = (N, N)
+    h = LEN / (N - 1)
+
+    outs = {}
+    for ov in (True, False):
+        f = jax.jit(jax.shard_map(
+            lambda u, b, ov=ov: rbgs_local(u, b, ALPHA, h, gshape, (AXIS,),
+                                           sweeps=3, overlap=ov),
+            mesh=mesh, in_specs=(spec, spec), out_specs=spec))
+        sharding = NamedSharding(mesh, spec)
+        outs[ov] = np.asarray(f(jax.device_put(u, sharding),
+                                jax.device_put(b, sharding)))
+    assert np.array_equal(outs[True], outs[False])
