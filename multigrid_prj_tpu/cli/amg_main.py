@@ -23,6 +23,10 @@ def main(argv=None) -> int:
     p.add_argument("-mesh", required=True, help="gmsh 4.1 ASCII .msh file")
     p.add_argument("-levels", type=int, default=5,
                    help="max AMG levels (reference: 5, AMG/src/main.cpp:126)")
+    p.add_argument("-order", type=int, choices=(1, 2), default=1,
+                   help="FE polynomial degree: 1 = reference-parity P1; "
+                        "2 = quadratic elements (completes the reference's "
+                        "unimplemented QuadraticFE, FEM.hpp:261-327)")
     p.add_argument("-theta", type=float, default=0.2,
                    help="strength threshold (reference EPSILON, AMG.hpp:21)")
     p.add_argument("-coarsening", choices=("pmis", "greedy"), default="pmis")
@@ -54,7 +58,14 @@ def main(argv=None) -> int:
     import numpy as np
 
     from multigrid_prj_tpu.amg import AMGSolver
-    from multigrid_prj_tpu.models.fem import assemble_p1, export_vtu, parse_msh
+    from multigrid_prj_tpu.models.fem import (
+        assemble_p1,
+        assemble_p2,
+        export_vtu,
+        export_vtu_p2,
+        p2_mesh,
+        parse_msh,
+    )
 
     t0 = time.perf_counter()
     try:
@@ -64,7 +75,13 @@ def main(argv=None) -> int:
         return 1
     print(f"Mesh imported! There are {mesh.n_nodes} nodes and "
           f"{mesh.n_elements} elements.")
-    A, rhs = assemble_p1(mesh)
+    if args.order == 2:
+        p2 = p2_mesh(mesh)
+        print(f"P2 dofs: {p2.n_dofs} ({p2.n_dofs - mesh.n_nodes} edge "
+              "midpoints)")
+        A, rhs = assemble_p2(p2)
+    else:
+        A, rhs = assemble_p1(mesh)
     print(f"Matrix created succesfully! {A.shape[0]} dofs, "
           f"{A.nnz} non zero elements.")
 
@@ -110,7 +127,10 @@ def main(argv=None) -> int:
     t1 = time.perf_counter()
     print(f"||Solving elapsed time: {t1 - t0:.3f} sec<br>")
 
-    export_vtu(args.o, mesh, np.asarray(x))
+    if args.order == 2:
+        export_vtu_p2(args.o, p2, np.asarray(x))
+    else:
+        export_vtu(args.o, mesh, np.asarray(x))
     print(f"Solution correctly saved in {args.o}")
     return 0
 

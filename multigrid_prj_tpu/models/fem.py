@@ -309,3 +309,196 @@ def export_vtu(path: str, mesh: TriangularMesh, sol_interior: np.ndarray,
             fh.write(f"          {v}\n")
         fh.write("        </DataArray>\n      </PointData>\n")
         fh.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
+
+
+# -- P2 (quadratic) elements ---------------------------------------------------
+#
+# The reference declares ``QuadraticFE`` but never implements its basis
+# functions or gradients — higher-order assembly is impossible there
+# (``AMG/include/FEM.hpp:261-327``, SURVEY.md §7.5).  This completes the
+# capability: P2 Lagrange elements with deduplicated edge-midpoint dofs
+# (the vectorised analog of the reference's ``visited_pairs`` edge-dof
+# generation, ``AMG/src/FEM.cpp:185-270``), midpoint-rule assembly (exact
+# for the degree-2 integrands of constant-coefficient P2 stiffness and
+# load), Dirichlet lifting, and quadratic-triangle VTU export.
+
+
+@dataclasses.dataclass
+class P2Mesh:
+    """P2 dof layout over a :class:`TriangularMesh`: vertex dofs first
+    (mesh node order), then one dof per unique edge (midpoint)."""
+
+    base: TriangularMesh
+    dof_coords: np.ndarray  # (n_dofs, 2)
+    tri_dofs: np.ndarray  # (M, 6): v0 v1 v2, e01 e12 e02 (local edges)
+    dof_on_boundary: np.ndarray  # (n_dofs,) bool
+
+    @property
+    def n_dofs(self) -> int:
+        return self.dof_coords.shape[0]
+
+    @property
+    def set_index(self) -> np.ndarray:
+        """Class-local (interior / boundary) dof numbering, dof order —
+        the P2 extension of the reference's ``set_index`` rule."""
+        idx = np.zeros(self.n_dofs, dtype=np.int64)
+        idx[~self.dof_on_boundary] = np.arange((~self.dof_on_boundary).sum())
+        idx[self.dof_on_boundary] = np.arange(self.dof_on_boundary.sum())
+        return idx
+
+
+def p2_mesh(mesh: TriangularMesh) -> P2Mesh:
+    """Generate P2 dofs: vertices + deduplicated edge midpoints.
+
+    An edge midpoint is a boundary dof iff its edge belongs to exactly one
+    triangle (the topological boundary of a conforming triangulation) —
+    equivalent to the reference's line-element marking for meshes whose
+    boundary line elements trace the mesh boundary.
+    """
+    tris = mesh.triangles
+    # local edges (0,1), (1,2), (0,2) — rows already sorted ascending, so
+    # each pair is sorted too and dedup is a plain unique over rows
+    edges = np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [0, 2]]], axis=0
+    )
+    uniq, inv, counts = np.unique(edges, axis=0, return_inverse=True,
+                                  return_counts=True)
+    n_v, n_e, m = mesh.n_nodes, uniq.shape[0], mesh.n_elements
+    edge_dof = n_v + inv.reshape(3, m).T  # (M, 3): e01, e12, e02
+    tri_dofs = np.concatenate([tris, edge_dof], axis=1)
+    mid = 0.5 * (mesh.nodes[uniq[:, 0]] + mesh.nodes[uniq[:, 1]])
+    dof_coords = np.concatenate([mesh.nodes, mid], axis=0)
+    on_b = np.concatenate([mesh.on_boundary, counts == 1])
+    return P2Mesh(base=mesh, dof_coords=dof_coords, tri_dofs=tri_dofs,
+                  dof_on_boundary=on_b)
+
+
+def _p2_gradient_coefficients() -> np.ndarray:
+    """B[q, a, i]: gradient of P2 basis ``a`` at quadrature point ``q`` as a
+    combination of the element's (constant) P1 gradients ``grad lambda_i``:
+    ``grad phi_a(q) = sum_i B[q, a, i] grad lambda_i``.
+
+    Basis: vertex_i = lambda_i (2 lambda_i - 1); edge_(i,j) = 4 lambda_i
+    lambda_j.  Quadrature q = edge midpoints (weights area/3) — degree-2
+    exact, so constant-alpha P2 stiffness entries are integrated exactly.
+    """
+    # barycentric coordinates of the three midpoints m01, m12, m02
+    lam = np.array([[0.5, 0.5, 0.0],
+                    [0.0, 0.5, 0.5],
+                    [0.5, 0.0, 0.5]])
+    edges_local = ((0, 1), (1, 2), (0, 2))
+    B = np.zeros((3, 6, 3))
+    for q in range(3):
+        for i in range(3):  # vertex dofs
+            B[q, i, i] = 4.0 * lam[q, i] - 1.0
+        for a, (i, j) in enumerate(edges_local, start=3):
+            B[q, a, j] = 4.0 * lam[q, i]
+            B[q, a, i] = 4.0 * lam[q, j]
+    return B
+
+
+def assemble_p2(
+    p2: P2Mesh,
+    f: Callable = default_forcing_term,
+    g: Callable = default_boundary_function,
+    alpha: Callable = default_alpha,
+) -> Tuple[HostCSR, np.ndarray]:
+    """Assemble the interior-dof P2 stiffness matrix and lifted RHS.
+
+    Same contract as :func:`assemble_p1` (the system the reference's AMG
+    consumes), one polynomial degree up.  Fully vectorised over elements:
+    per-element 6x6 stiffness via one einsum over the constant gradient-
+    coefficient tensor, then a duplicate-summing COO->CSR compression.
+    ``f`` is integrated with the midpoint rule (phi_edge(m_q) = delta_eq
+    and the vertex basis integrates to zero — both exact for degree 2).
+    """
+    mesh = p2.base
+    areas, grads = _p1_geometry(mesh)  # grads = grad lambda_i, (M, 3, 2)
+    B = _p2_gradient_coefficients()  # (3, 6, 3)
+    gp = np.einsum("qai,eid->eqad", B, grads)  # grad phi_a at q, (M,3,6,2)
+    mid_xy = p2.dof_coords[p2.tri_dofs[:, 3:]]  # (M, 3, 2) midpoint coords
+    w_alpha = (areas[:, None] / 3.0) * alpha(mid_xy[..., 0], mid_xy[..., 1])
+    K = np.einsum("eqad,eqbd,eq->eab", gp, gp, w_alpha)  # (M, 6, 6)
+
+    set_index = p2.set_index
+    interior = ~p2.dof_on_boundary
+    td_interior = interior[p2.tri_dofs]  # (M, 6)
+    td_sidx = set_index[p2.tri_dofs]  # (M, 6)
+
+    ii = np.broadcast_to(td_sidx[:, :, None], K.shape)
+    jj = np.broadcast_to(td_sidx[:, None, :], K.shape)
+    mask_ii = np.broadcast_to(td_interior[:, :, None], K.shape)
+    mask_jj = np.broadcast_to(td_interior[:, None, :], K.shape)
+
+    n_int = int(interior.sum())
+    both = mask_ii & mask_jj
+    A = HostCSR.from_coo(ii[both], jj[both], K[both], (n_int, n_int))
+
+    # load: rhs_a = sum_q w_q f(x_q) phi_a(x_q); phi_edge(m_q) = delta,
+    # vertex basis vanish at midpoints
+    rhs = np.zeros(n_int)
+    fvals = f(mid_xy[..., 0], mid_xy[..., 1]) * (areas[:, None] / 3.0)
+    sel = td_interior[:, 3:]
+    np.add.at(rhs, td_sidx[:, 3:][sel], fvals[sel])
+
+    # Dirichlet lifting: i interior, j boundary (vertex or midpoint dof)
+    lift = mask_ii & ~mask_jj
+    if lift.any():
+        xy = p2.dof_coords[p2.tri_dofs]  # (M, 6, 2)
+        gvals = g(xy[..., 0], xy[..., 1])  # (M, 6)
+        gj = np.broadcast_to(gvals[:, None, :], K.shape)
+        np.subtract.at(rhs, ii[lift], (gj * K)[lift])
+    return A, rhs
+
+
+def p2_solution_on_dofs(p2: P2Mesh, sol_interior: np.ndarray,
+                        g: Callable = default_boundary_function) -> np.ndarray:
+    """Full dof field: boundary dofs get ``g``, interior get the solution."""
+    u = np.zeros(p2.n_dofs)
+    u[~p2.dof_on_boundary] = np.asarray(sol_interior)
+    bx = p2.dof_coords[p2.dof_on_boundary, 0]
+    by = p2.dof_coords[p2.dof_on_boundary, 1]
+    u[p2.dof_on_boundary] = g(bx, by)
+    return u
+
+
+def export_vtu_p2(path: str, p2: P2Mesh, sol_interior: np.ndarray,
+                  g: Callable = default_boundary_function) -> None:
+    """VTU writer for quadratic triangles (VTK cell type 22, connectivity
+    v0 v1 v2 m01 m12 m20) — the higher-order extension of ``export_to_vtu``
+    (``AMG/src/FEM.cpp:318-412``)."""
+    u = p2_solution_on_dofs(p2, sol_interior, g)
+    n, m = p2.n_dofs, p2.base.n_elements
+    conn = p2.tri_dofs[:, [0, 1, 2, 3, 4, 5]]  # e02 == edge (2,0)
+    with open(path, "w") as fh:
+        fh.write('<?xml version="1.0"?>\n')
+        fh.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                 'byte_order="LittleEndian">\n')
+        fh.write("  <UnstructuredGrid>\n")
+        fh.write(f'    <Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n')
+        fh.write("      <Points>\n")
+        fh.write('        <DataArray type="Float64" NumberOfComponents="3" '
+                 'format="ascii">\n')
+        for x, y in p2.dof_coords:
+            fh.write(f"          {x} {y} 0\n")
+        fh.write("        </DataArray>\n      </Points>\n")
+        fh.write("      <Cells>\n")
+        fh.write('        <DataArray type="Int32" Name="connectivity" '
+                 'format="ascii">\n')
+        for row in conn:
+            fh.write("          " + " ".join(str(v) for v in row) + "\n")
+        fh.write("        </DataArray>\n")
+        fh.write('        <DataArray type="Int32" Name="offsets" format="ascii">\n')
+        for k in range(1, m + 1):
+            fh.write(f"          {6 * k}\n")
+        fh.write("        </DataArray>\n")
+        fh.write('        <DataArray type="UInt8" Name="types" format="ascii">\n')
+        for _ in range(m):
+            fh.write("          22\n")
+        fh.write("        </DataArray>\n      </Cells>\n")
+        fh.write('      <PointData Scalars="u">\n')
+        fh.write('        <DataArray type="Float64" Name="u" format="ascii">\n')
+        for v in u:
+            fh.write(f"          {v}\n")
+        fh.write("        </DataArray>\n      </PointData>\n")
+        fh.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
