@@ -23,10 +23,11 @@ def main(argv=None) -> int:
     p.add_argument("-mesh", required=True, help="gmsh 4.1 ASCII .msh file")
     p.add_argument("-levels", type=int, default=5,
                    help="max AMG levels (reference: 5, AMG/src/main.cpp:126)")
-    p.add_argument("-order", type=int, choices=(1, 2), default=1,
+    p.add_argument("-order", type=int, choices=(1, 2, 3), default=1,
                    help="FE polynomial degree: 1 = reference-parity P1; "
-                        "2 = quadratic elements (completes the reference's "
-                        "unimplemented QuadraticFE, FEM.hpp:261-327)")
+                        "2/3 = quadratic/cubic elements (complete the "
+                        "reference's unimplemented QuadraticFE/ThirdOrderFE, "
+                        "FEM.hpp:261-327)")
     p.add_argument("-theta", type=float, default=0.2,
                    help="strength threshold (reference EPSILON, AMG.hpp:21)")
     p.add_argument("-coarsening", choices=("pmis", "greedy"), default="pmis")
@@ -61,9 +62,12 @@ def main(argv=None) -> int:
     from multigrid_prj_tpu.models.fem import (
         assemble_p1,
         assemble_p2,
+        assemble_p3,
         export_vtu,
         export_vtu_p2,
+        export_vtu_p3,
         p2_mesh,
+        p3_mesh,
         parse_msh,
     )
 
@@ -76,10 +80,16 @@ def main(argv=None) -> int:
     print(f"Mesh imported! There are {mesh.n_nodes} nodes and "
           f"{mesh.n_elements} elements.")
     if args.order == 2:
-        p2 = p2_mesh(mesh)
-        print(f"P2 dofs: {p2.n_dofs} ({p2.n_dofs - mesh.n_nodes} edge "
+        hmesh = p2_mesh(mesh)
+        print(f"P2 dofs: {hmesh.n_dofs} ({hmesh.n_dofs - mesh.n_nodes} edge "
               "midpoints)")
-        A, rhs = assemble_p2(p2)
+        A, rhs = assemble_p2(hmesh)
+    elif args.order == 3:
+        hmesh = p3_mesh(mesh)
+        print(f"P3 dofs: {hmesh.n_dofs} "
+              f"({hmesh.n_dofs - mesh.n_nodes - mesh.n_elements} edge "
+              f"third-points, {mesh.n_elements} barycenters)")
+        A, rhs = assemble_p3(hmesh)
     else:
         A, rhs = assemble_p1(mesh)
     print(f"Matrix created succesfully! {A.shape[0]} dofs, "
@@ -128,7 +138,9 @@ def main(argv=None) -> int:
     print(f"||Solving elapsed time: {t1 - t0:.3f} sec<br>")
 
     if args.order == 2:
-        export_vtu_p2(args.o, p2, np.asarray(x))
+        export_vtu_p2(args.o, hmesh, np.asarray(x))
+    elif args.order == 3:
+        export_vtu_p3(args.o, hmesh, np.asarray(x))
     else:
         export_vtu(args.o, mesh, np.asarray(x))
     print(f"Solution correctly saved in {args.o}")

@@ -502,3 +502,235 @@ def export_vtu_p2(path: str, p2: P2Mesh, sol_interior: np.ndarray,
             fh.write(f"          {v}\n")
         fh.write("        </DataArray>\n      </PointData>\n")
         fh.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
+
+
+# -- P3 (cubic) elements --------------------------------------------------------
+#
+# The reference also declares ``ThirdOrderFE`` (edge third-points + one
+# interior dof, ``AMG/include/FEM.hpp:301-326``) with no basis functions —
+# it too cannot assemble.  This implements the full cubic Lagrange element:
+# 10 dofs (3 vertices, 2 per edge at the third-points, 1 barycenter),
+# degree-4 Dunavant quadrature (exact for the degree-4 stiffness integrand,
+# so cubic manufactured solutions reproduce to round-off).
+
+# 6-point Dunavant rule, degree-4 exact; weights sum to 1 (x area)
+_DUNAVANT4_A1, _DUNAVANT4_W1 = 0.445948490915965, 0.223381589678011
+_DUNAVANT4_A2, _DUNAVANT4_W2 = 0.091576213509771, 0.109951743655322
+
+
+def _dunavant4():
+    lam = []
+    w = []
+    for a, wt in ((_DUNAVANT4_A1, _DUNAVANT4_W1),
+                  (_DUNAVANT4_A2, _DUNAVANT4_W2)):
+        for perm in ((a, a, 1 - 2 * a), (a, 1 - 2 * a, a), (1 - 2 * a, a, a)):
+            lam.append(perm)
+            w.append(wt)
+    return np.asarray(lam), np.asarray(w)
+
+
+_P3_EDGES_LOCAL = ((0, 1), (1, 2), (0, 2))
+
+
+def _p3_phi(lam: np.ndarray) -> np.ndarray:
+    """P3 basis values at barycentric points ``lam`` (Q, 3) -> (Q, 10).
+
+    Dof order: v0 v1 v2, then per local edge (i, j) the node nearer i
+    (lam_i = 2/3) then nearer j, then the barycenter."""
+    Q = lam.shape[0]
+    phi = np.zeros((Q, 10))
+    for i in range(3):
+        li = lam[:, i]
+        phi[:, i] = 0.5 * li * (3 * li - 1) * (3 * li - 2)
+    for a, (i, j) in enumerate(_P3_EDGES_LOCAL):
+        li, lj = lam[:, i], lam[:, j]
+        phi[:, 3 + 2 * a] = 4.5 * li * lj * (3 * li - 1)
+        phi[:, 3 + 2 * a + 1] = 4.5 * li * lj * (3 * lj - 1)
+    phi[:, 9] = 27.0 * lam[:, 0] * lam[:, 1] * lam[:, 2]
+    return phi
+
+
+def _p3_dphi(lam: np.ndarray) -> np.ndarray:
+    """C[q, a, i] = d phi_a / d lambda_i at ``lam`` (Q, 3) -> (Q, 10, 3),
+    so that grad phi_a(q) = sum_i C[q, a, i] grad lambda_i."""
+    Q = lam.shape[0]
+    C = np.zeros((Q, 10, 3))
+    for i in range(3):
+        li = lam[:, i]
+        C[:, i, i] = 0.5 * (27 * li * li - 18 * li + 2)
+    for a, (i, j) in enumerate(_P3_EDGES_LOCAL):
+        li, lj = lam[:, i], lam[:, j]
+        C[:, 3 + 2 * a, i] = 4.5 * lj * (6 * li - 1)
+        C[:, 3 + 2 * a, j] = 4.5 * li * (3 * li - 1)
+        C[:, 3 + 2 * a + 1, i] = 4.5 * lj * (3 * lj - 1)
+        C[:, 3 + 2 * a + 1, j] = 4.5 * li * (6 * lj - 1)
+    l0, l1, l2 = lam[:, 0], lam[:, 1], lam[:, 2]
+    C[:, 9, 0] = 27.0 * l1 * l2
+    C[:, 9, 1] = 27.0 * l0 * l2
+    C[:, 9, 2] = 27.0 * l0 * l1
+    return C
+
+
+@dataclasses.dataclass
+class P3Mesh:
+    """P3 dof layout: vertices, then 2 dofs per unique edge (third-points,
+    lower-vertex-first), then one barycenter dof per element."""
+
+    base: TriangularMesh
+    dof_coords: np.ndarray  # (n_dofs, 2)
+    tri_dofs: np.ndarray  # (M, 10)
+    dof_on_boundary: np.ndarray  # (n_dofs,) bool
+
+    @property
+    def n_dofs(self) -> int:
+        return self.dof_coords.shape[0]
+
+    @property
+    def set_index(self) -> np.ndarray:
+        idx = np.zeros(self.n_dofs, dtype=np.int64)
+        idx[~self.dof_on_boundary] = np.arange((~self.dof_on_boundary).sum())
+        idx[self.dof_on_boundary] = np.arange(self.dof_on_boundary.sum())
+        return idx
+
+
+def p3_mesh(mesh: TriangularMesh) -> P3Mesh:
+    """Generate P3 dofs: the vectorised analog of the reference's
+    third-point dof generation with shared-edge dedup
+    (``AMG/src/FEM.cpp:185-270``), plus the barycenter dofs."""
+    tris = mesh.triangles
+    edges = np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [0, 2]]], axis=0
+    )
+    uniq, inv, counts = np.unique(edges, axis=0, return_inverse=True,
+                                  return_counts=True)
+    n_v, n_e, m = mesh.n_nodes, uniq.shape[0], mesh.n_elements
+    # per unique edge: dof n_v + 2e at lower + (upper-lower)/3,
+    #                  dof n_v + 2e + 1 at 2/3 — orientation-independent
+    # because the edge key (lower, upper) is global
+    e_ids = inv.reshape(3, m).T  # (M, 3) unique-edge id per local edge
+    # local edges have v_i < v_j (triangle rows sorted), so "nearer i" is
+    # always "nearer the lower global id" = the edge's first dof
+    tri_edge_dofs = np.stack(
+        [n_v + 2 * e_ids[:, 0], n_v + 2 * e_ids[:, 0] + 1,
+         n_v + 2 * e_ids[:, 1], n_v + 2 * e_ids[:, 1] + 1,
+         n_v + 2 * e_ids[:, 2], n_v + 2 * e_ids[:, 2] + 1], axis=1)
+    center_dofs = n_v + 2 * n_e + np.arange(m)
+    tri_dofs = np.concatenate(
+        [tris, tri_edge_dofs, center_dofs[:, None]], axis=1)
+    lo, hi = mesh.nodes[uniq[:, 0]], mesh.nodes[uniq[:, 1]]
+    third = np.empty((2 * n_e, 2))
+    third[0::2] = lo + (hi - lo) / 3.0
+    third[1::2] = lo + 2.0 * (hi - lo) / 3.0
+    centers = mesh.nodes[tris].mean(axis=1)
+    dof_coords = np.concatenate([mesh.nodes, third, centers], axis=0)
+    edge_b = np.repeat(counts == 1, 2)
+    on_b = np.concatenate(
+        [mesh.on_boundary, edge_b, np.zeros(m, dtype=bool)])
+    return P3Mesh(base=mesh, dof_coords=dof_coords, tri_dofs=tri_dofs,
+                  dof_on_boundary=on_b)
+
+
+def assemble_p3(
+    p3: P3Mesh,
+    f: Callable = default_forcing_term,
+    g: Callable = default_boundary_function,
+    alpha: Callable = default_alpha,
+) -> Tuple[HostCSR, np.ndarray]:
+    """Assemble the interior-dof P3 stiffness matrix and lifted RHS
+    (same contract as :func:`assemble_p1` / :func:`assemble_p2`)."""
+    mesh = p3.base
+    areas, grads = _p1_geometry(mesh)
+    lam, wq = _dunavant4()  # (Q, 3), (Q,)
+    C = _p3_dphi(lam)  # (Q, 10, 3)
+    phi = _p3_phi(lam)  # (Q, 10)
+    gp = np.einsum("qai,eid->eqad", C, grads)  # (M, Q, 10, 2)
+    pv = mesh.nodes[mesh.triangles]  # (M, 3, 2)
+    xq = np.einsum("qi,eid->eqd", lam, pv)  # (M, Q, 2) quadrature points
+    w_alpha = areas[:, None] * wq[None, :] * alpha(xq[..., 0], xq[..., 1])
+    K = np.einsum("eqad,eqbd,eq->eab", gp, gp, w_alpha)  # (M, 10, 10)
+
+    set_index = p3.set_index
+    interior = ~p3.dof_on_boundary
+    td_interior = interior[p3.tri_dofs]
+    td_sidx = set_index[p3.tri_dofs]
+
+    ii = np.broadcast_to(td_sidx[:, :, None], K.shape)
+    jj = np.broadcast_to(td_sidx[:, None, :], K.shape)
+    mask_ii = np.broadcast_to(td_interior[:, :, None], K.shape)
+    mask_jj = np.broadcast_to(td_interior[:, None, :], K.shape)
+
+    n_int = int(interior.sum())
+    both = mask_ii & mask_jj
+    A = HostCSR.from_coo(ii[both], jj[both], K[both], (n_int, n_int))
+
+    # load: rhs_a = sum_q area w_q f(x_q) phi_a(q)
+    rhs = np.zeros(n_int)
+    wf = areas[:, None] * wq[None, :] * f(xq[..., 0], xq[..., 1])  # (M, Q)
+    fvals = np.einsum("eq,qa->ea", wf, phi)  # (M, 10)
+    np.add.at(rhs, td_sidx[td_interior], fvals[td_interior])
+
+    # Dirichlet lifting over all boundary dofs
+    lift = mask_ii & ~mask_jj
+    if lift.any():
+        xy = p3.dof_coords[p3.tri_dofs]  # (M, 10, 2)
+        gvals = g(xy[..., 0], xy[..., 1])
+        gj = np.broadcast_to(gvals[:, None, :], K.shape)
+        np.subtract.at(rhs, ii[lift], (gj * K)[lift])
+    return A, rhs
+
+
+def p3_solution_on_dofs(p3: P3Mesh, sol_interior: np.ndarray,
+                        g: Callable = default_boundary_function) -> np.ndarray:
+    u = np.zeros(p3.n_dofs)
+    u[~p3.dof_on_boundary] = np.asarray(sol_interior)
+    bx = p3.dof_coords[p3.dof_on_boundary, 0]
+    by = p3.dof_coords[p3.dof_on_boundary, 1]
+    u[p3.dof_on_boundary] = g(bx, by)
+    return u
+
+
+def export_vtu_p3(path: str, p3: P3Mesh, sol_interior: np.ndarray,
+                  g: Callable = default_boundary_function) -> None:
+    """Export the P3 solution's vertex trace as a linear-triangle VTU
+    (legacy VTK has no fixed cubic-triangle cell; the full dof field is
+    available via :func:`p3_solution_on_dofs`)."""
+    u = p3_solution_on_dofs(p3, sol_interior, g)
+    export_vtu_field(path, p3.base, u[: p3.base.n_nodes])
+
+
+def export_vtu_field(path: str, mesh: TriangularMesh,
+                     u_nodes: np.ndarray) -> None:
+    """P1 VTU writer for an arbitrary full nodal field."""
+    n, m = mesh.n_nodes, mesh.n_elements
+    with open(path, "w") as fh:
+        fh.write('<?xml version="1.0"?>\n')
+        fh.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                 'byte_order="LittleEndian">\n')
+        fh.write("  <UnstructuredGrid>\n")
+        fh.write(f'    <Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n')
+        fh.write("      <Points>\n")
+        fh.write('        <DataArray type="Float64" NumberOfComponents="3" '
+                 'format="ascii">\n')
+        for x, y in mesh.nodes:
+            fh.write(f"          {x} {y} 0\n")
+        fh.write("        </DataArray>\n      </Points>\n")
+        fh.write("      <Cells>\n")
+        fh.write('        <DataArray type="Int32" Name="connectivity" '
+                 'format="ascii">\n')
+        for a, b, c in mesh.triangles:
+            fh.write(f"          {a} {b} {c}\n")
+        fh.write("        </DataArray>\n")
+        fh.write('        <DataArray type="Int32" Name="offsets" format="ascii">\n')
+        for k in range(1, m + 1):
+            fh.write(f"          {3 * k}\n")
+        fh.write("        </DataArray>\n")
+        fh.write('        <DataArray type="UInt8" Name="types" format="ascii">\n')
+        for _ in range(m):
+            fh.write("          5\n")
+        fh.write("        </DataArray>\n      </Cells>\n")
+        fh.write('      <PointData Scalars="u">\n')
+        fh.write('        <DataArray type="Float64" Name="u" format="ascii">\n')
+        for v in u_nodes:
+            fh.write(f"          {v}\n")
+        fh.write("        </DataArray>\n      </PointData>\n")
+        fh.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
