@@ -2,11 +2,14 @@
 
 The AMG solve phase's hot op is ``y = A x`` on a fixed unstructured sparsity
 (the reference's CSR row scans, ``AMG/src/CSRMatrix.cpp:24-52``, driven from
-the 10/200/10 GS sweeps at ``AMG/src/AMG.cpp:283-303``).  The XLA lowering of
-the padded-gather formulation (``jnp.take`` + row reduction,
-``ops/sparse.py:ELLMatrix.spmv``) measures **1.95 Gnnz/s** on v5e — 52x
-under the ~102 Gnnz/s HBM roofline for the 8 B/nnz ELL stream.  This kernel
-closes that gap.
+the 10/200/10 GS sweeps at ``AMG/src/AMG.cpp:283-303``).  This kernel runs
+the padded-ELL product at the chip's streaming speed of light:
+**72 G slots/s = 648 GB/s** on v5e (1M-row K=8 RCM band, f32,
+differential-timed dependent chain, block_rows=16384) — the measured
+single-pass streaming ceiling of this chip (~650 GB/s; nominal HBM
+819 GB/s).  The XLA ``jnp.take``-gather lowering of the same product
+(``ops/sparse.py:ELLMatrix.spmv``) measures ~13x slower; numbers in
+``benchmarks/spmv_bench.py``.
 
 TPU-native design (constraints from Mosaic: the only dynamic gather that
 lowers is ``take_along_axis`` on SAME-SHAPE 2D operands within a (8, 128)
@@ -107,7 +110,7 @@ class PallasELL:
     def build(
         csr: HostCSR,
         dtype=jnp.float32,
-        block_rows: int = 1024,
+        block_rows: int | None = None,
         max_t_win: int = _MAX_T_WIN,
         interpret: bool = False,
     ) -> Optional["PallasELL"]:
@@ -116,10 +119,18 @@ class PallasELL:
         The CALLER is responsible for the matrix being banded (RCM-reorder
         first — ``HostCSR.rcm_permutation``/``permute``); this only measures
         the resulting window widths and refuses pathological ones.
+
+        ``block_rows=None`` picks the measured-fastest default: 16384 rows
+        per grid step (differential-timed ladder on v5e, 1M-row K=8 band:
+        1024 -> ~8 G slots/s-equivalent pipeline underutilisation,
+        8192 -> 562 GB/s, 16384 -> 648 GB/s = the chip's streaming speed
+        of light), capped at the padded row count for small systems.
         """
         n, m = csr.shape
         if n == 0 or csr.nnz == 0:
             return None
+        if block_rows is None:
+            block_rows = min(16384, -(-n // 1024) * 1024)
         if block_rows % (8 * _LANE):
             raise ValueError("block_rows must be a multiple of 1024 "
                              "(8-sublane output tiles)")
