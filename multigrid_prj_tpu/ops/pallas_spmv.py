@@ -88,6 +88,30 @@ def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
         o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
+def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
+                 nvec):
+    """Multi-vector variant of :func:`_spmv_kernel`: ``x_ref`` holds ``nvec``
+    padded vectors as ``(nvec, S, 128)``; A's cols/vals stream ONCE and the
+    decoded (hi, lo) window indices are reused for every right-hand side —
+    the bandwidth win of SpMM over ``nvec`` repeated SpMVs."""
+    i = pl.program_id(0)
+    nlt = r // _LANE
+    for j in range(nlt):
+        sl = slice(j * _LANE, (j + 1) * _LANE)
+        idx = cols_ref[:, sl]
+        hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
+        lo = jax.lax.bitwise_and(idx, jnp.int32(127))
+        base = base2_ref[i * nlt + j]
+        v = vals_ref[:, sl]
+        for vv in range(nvec):
+            win = x_ref[vv, pl.ds(base, 8), :]
+            g = jnp.zeros((k, _LANE), x_ref.dtype)
+            for t in range(t_win):
+                src = jnp.broadcast_to(win[t, :][None, :], (k, _LANE))
+                g = jnp.where(hi == t, jnp.take_along_axis(src, lo, axis=1), g)
+            o_ref[vv, j, :] = jnp.sum(v * g, axis=0)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PallasELL:
@@ -253,6 +277,71 @@ class PallasELL:
             interpret=interpret,
         )(self.base2, self.colsT_rel, self.valsT, x2d)
         return out
+
+
+    # -- multi-vector (SpMM) ---------------------------------------------
+
+    def pad_X(self, X: jax.Array) -> jax.Array:
+        """Logical ``(m, nvec)`` block -> padded ``(nvec, m_pad/128, 128)``."""
+        X = X.astype(self.valsT.dtype)
+        nvec = X.shape[1]
+        Xp = jnp.zeros((self.m_pad, nvec), X.dtype).at[: self.shape[1], :].set(X)
+        return Xp.T.reshape(nvec, -1, _LANE)
+
+    def unpad_Y(self, y3d: jax.Array) -> jax.Array:
+        nvec = y3d.shape[0]
+        return y3d.reshape(nvec, -1)[:, : self.shape[0]].T
+
+    def spmm(self, X: jax.Array, *, interpret: bool | None = None) -> jax.Array:
+        """Block product ``Y = A @ X`` for ``X`` of shape ``(m, nvec)``.
+
+        A's slots stream from HBM once for the whole block (vs once per
+        vector with repeated :meth:`spmv`).  Vector blocks too large for
+        VMEM are processed in chunks that fit."""
+        nvec = X.shape[1]
+        chunk = max(1, _MAX_X_VMEM // (self.m_pad * 4))
+        outs = [
+            self.unpad_Y(self.spmm2d(self.pad_X(X[:, s:s + chunk]),
+                                     interpret=interpret))
+            for s in range(0, nvec, chunk)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+    def spmm2d(self, x3d: jax.Array, *,
+               interpret: bool | None = None) -> jax.Array:
+        """Padded-layout block product: ``x3d`` is ``(nvec, m_pad/128, 128)``
+        (see :meth:`pad_X`); returns ``(nvec, n_pad/128, 128)``."""
+        interpret = self.interpret if interpret is None else interpret
+        nvec = x3d.shape[0]
+        k_pad, n_pad = self.colsT_rel.shape
+        r = self.block_rows
+        nb = n_pad // r
+        nlt = r // _LANE
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nvec, nlt, _LANE), lambda i, b2: (0, i, 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _spmm_kernel, k=k_pad, r=r, t_win=self.t_win, nvec=nvec
+            ),
+            out_shape=jax.ShapeDtypeStruct((nvec, nb * nlt, _LANE),
+                                           self.valsT.dtype),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * k_pad * n_pad * nvec,
+                bytes_accessed=8 * k_pad * n_pad
+                + 4 * nvec * (self.m_pad + n_pad),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(self.base2, self.colsT_rel, self.valsT, x3d)
 
 
 def rcm_prepared(csr: HostCSR, dtype=jnp.float32, **kw):

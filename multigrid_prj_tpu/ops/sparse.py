@@ -154,6 +154,15 @@ class HostCSR:
         np.add.at(out, np.repeat(np.arange(self.shape[0]), self.row_lengths), prods)
         return out
 
+    def spmm(self, X: np.ndarray) -> np.ndarray:
+        """Host sparse x dense-block product ``Y = A @ X`` (oracle for the
+        device SpMM paths; ``X`` is ``(m, nvec)``)."""
+        X = np.asarray(X)
+        prods = self.data[:, None] * X[self.indices, :]
+        out = np.zeros((self.shape[0], X.shape[1]))
+        np.add.at(out, np.repeat(np.arange(self.shape[0]), self.row_lengths), prods)
+        return out
+
     def permute(self, perm: np.ndarray) -> "HostCSR":
         """Symmetric permutation ``A[perm][:, perm]`` (RCM reordering etc.)."""
         perm = np.asarray(perm, dtype=np.int64)
@@ -283,6 +292,14 @@ class ELLMatrix:
         """``y = A x`` as gather + row reduction (jit/vmap/shard_map-safe)."""
         gathered = jnp.take(x, self.cols, axis=0)
         return jnp.sum(self.vals * gathered, axis=1)
+
+    def spmm(self, X: jax.Array) -> jax.Array:
+        """Block product ``Y = A @ X`` for ``X`` of shape ``(m, nvec)``.
+
+        One gather of ``X`` rows serves every right-hand side; A's slots are
+        read once (vs ``nvec`` spmv calls re-streaming them)."""
+        gathered = jnp.take(X, self.cols, axis=0)  # (n, K, nvec)
+        return jnp.sum(self.vals[:, :, None] * gathered, axis=1)
 
     def to_host_csr(self) -> HostCSR:
         cols = np.asarray(self.cols)

@@ -99,3 +99,39 @@ def test_padded_rows_and_slots_are_zero():
     assert got.shape == (25,)
     want = A.spmv(np.ones(25))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_spmm_matches_oracle():
+    """Multi-vector kernel (SpMM): A streams once for all nvec RHS."""
+    A = fd_poisson(12)
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((A.shape[1], 5)).astype(np.float32)
+    got = np.asarray(pA.spmm(jnp.asarray(X), interpret=True), np.float64)
+    want = A.spmm(X.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_spmm_single_vector_matches_spmv():
+    A = fd_poisson(9)
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    y1 = np.asarray(pA.spmv(jnp.asarray(x), interpret=True))
+    y2 = np.asarray(pA.spmm(jnp.asarray(x[:, None]), interpret=True))[:, 0]
+    np.testing.assert_allclose(y1, y2, rtol=1e-6, atol=1e-6)
+
+
+def test_spmm_chunks_large_blocks(monkeypatch):
+    """Vector blocks larger than the VMEM budget are chunked transparently."""
+    import multigrid_prj_tpu.ops.pallas_spmv as mod
+
+    A = fd_poisson(8)
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    # shrink the budget so a 3-vector block needs two kernel launches
+    monkeypatch.setattr(mod, "_MAX_X_VMEM", pA.m_pad * 4 * 2)
+    rng = np.random.default_rng(6)
+    X = rng.standard_normal((A.shape[1], 3)).astype(np.float32)
+    got = np.asarray(pA.spmm(jnp.asarray(X), interpret=True), np.float64)
+    want = A.spmm(X.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

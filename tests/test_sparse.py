@@ -101,3 +101,21 @@ def test_coo_spmv_segment_sum():
         )
     )
     np.testing.assert_allclose(y, S @ x, rtol=1e-12)
+
+
+def test_spmm_matches_scipy():
+    S = random_sparse(60, 40, seed=7)
+    A = to_host(S)
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((40, 6))
+    np.testing.assert_allclose(A.spmm(X), S @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_ell_spmm_matches_host():
+    S = random_sparse(50, 50, seed=9)
+    A = to_host(S)
+    E = ELLMatrix.from_host_csr(A, dtype=jnp.float64)
+    rng = np.random.default_rng(10)
+    X = rng.standard_normal((50, 4))
+    got = np.asarray(E.spmm(jnp.asarray(X)))
+    np.testing.assert_allclose(got, A.spmm(X), rtol=1e-10, atol=1e-10)
