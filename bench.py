@@ -177,6 +177,39 @@ def measure_ell_spmv(n: int = 1 << 20, delta: int = 200):
     return pA.nnz_dense * delta / dt
 
 
+def measure_ell_spmm(n: int = 1 << 20, nvec: int = 4, delta: int = 100):
+    """Pallas ELL SpMM effective nnz/s (A streamed once per ``nvec``-vector
+    block — the SpMM bandwidth win over repeated SpMV).  Dependent chain
+    ``X <- unpad(A X)`` in the padded 3D layout, differential-timed."""
+    import numpy as np
+
+    from benchmarks.spmv_bench import banded_csr
+    from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
+
+    A = banded_csr(n)
+    interpret = jax.default_backend() == "cpu"
+    pA = PallasELL.build(A, dtype=jnp.float32, interpret=interpret)
+    X = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, nvec)), jnp.float32
+    )
+
+    def chain(iters):
+        @jax.jit
+        def f(X):
+            x3d = pA.pad_X(X)
+
+            def body(_, x3d):
+                y3d = pA.spmm2d(x3d)
+                return jax.lax.dynamic_update_slice(x3d, y3d, (0, 0, 0))
+
+            return jax.lax.fori_loop(0, iters, body, x3d)
+
+        return f
+
+    dt = _timed_pair(chain(delta // 4), chain(delta // 4 + delta), X, delta)
+    return pA.nnz_dense * nvec * delta / dt
+
+
 def measure_vcycle_ff32(n: int = 1025, tol: float = 1e-8):
     """Wall-clock of a full ff32-refined GMG solve to ``tol`` (BASELINE's
     second metric: V-cycle wall-time to 1e-8 on 1025^2, f32 + ff32)."""
@@ -216,6 +249,10 @@ def main() -> None:
         extra["ell_spmv_pallas_nnz_per_s"] = measure_ell_spmv()
     except Exception as e:  # secondary metrics must never kill the bench
         extra["ell_spmv_error"] = str(e)[:200]
+    try:
+        extra["ell_spmm_nvec4_effective_nnz_per_s"] = measure_ell_spmm()
+    except Exception as e:
+        extra["ell_spmm_error"] = str(e)[:200]
     try:
         ms, iters_v, rel = measure_vcycle_ff32()
         extra["vcycle_1025_ff32_to_1e8_ms"] = ms

@@ -88,13 +88,17 @@ def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
         o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
-def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
-                 nvec):
+def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
     """Multi-vector variant of :func:`_spmv_kernel`: ``x_ref`` holds ``nvec``
-    padded vectors as ``(nvec, S, 128)``; A's cols/vals stream ONCE and the
-    decoded (hi, lo) window indices are reused for every right-hand side —
-    the bandwidth win of SpMM over ``nvec`` repeated SpMVs."""
+    padded vectors as ``(nvec, S, 128)``; grid = (row blocks, vectors) with
+    the vector index MINOR, so A's cols/vals block (indexed by row block
+    only) stays VMEM-resident across the inner vector steps — A streams from
+    HBM once per row block for the whole vector block, the bandwidth win of
+    SpMM over ``nvec`` repeated SpMVs.  (Looping vectors inside the kernel
+    body instead multiplies the unrolled body by ``nvec`` and blows up the
+    Mosaic compile: 255 s measured vs seconds this way.)"""
     i = pl.program_id(0)
+    vv = pl.program_id(1)
     nlt = r // _LANE
     for j in range(nlt):
         sl = slice(j * _LANE, (j + 1) * _LANE)
@@ -102,14 +106,12 @@ def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
         hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
         lo = jax.lax.bitwise_and(idx, jnp.int32(127))
         base = base2_ref[i * nlt + j]
-        v = vals_ref[:, sl]
-        for vv in range(nvec):
-            win = x_ref[vv, pl.ds(base, 8), :]
-            g = jnp.zeros((k, _LANE), x_ref.dtype)
-            for t in range(t_win):
-                src = jnp.broadcast_to(win[t, :][None, :], (k, _LANE))
-                g = jnp.where(hi == t, jnp.take_along_axis(src, lo, axis=1), g)
-            o_ref[vv, j, :] = jnp.sum(v * g, axis=0)
+        win = x_ref[vv, pl.ds(base, 8), :]
+        g = jnp.zeros((k, _LANE), x_ref.dtype)
+        for t in range(t_win):
+            src = jnp.broadcast_to(win[t, :][None, :], (k, _LANE))
+            g = jnp.where(hi == t, jnp.take_along_axis(src, lo, axis=1), g)
+        o_ref[0, j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
 @jax.tree_util.register_dataclass
@@ -319,17 +321,17 @@ class PallasELL:
         nlt = r // _LANE
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb,),
+            grid=(nb, nvec),  # vector index minor: A block reused across it
             in_specs=[
-                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
-                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec((k_pad, r), lambda i, vv, b2: (0, i)),
+                pl.BlockSpec((k_pad, r), lambda i, vv, b2: (0, i)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((nvec, nlt, _LANE), lambda i, b2: (0, i, 0)),
+            out_specs=pl.BlockSpec((1, nlt, _LANE), lambda i, vv, b2: (vv, i, 0)),
         )
         return pl.pallas_call(
             functools.partial(
-                _spmm_kernel, k=k_pad, r=r, t_win=self.t_win, nvec=nvec
+                _spmm_kernel, k=k_pad, r=r, t_win=self.t_win
             ),
             out_shape=jax.ShapeDtypeStruct((nvec, nb * nlt, _LANE),
                                            self.valsT.dtype),
