@@ -35,7 +35,7 @@ def _kernel_probe_noshuffle(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *,
     nlt = r // _LANE
     for j in range(nlt):
         sl = slice(j * _LANE, (j + 1) * _LANE)
-        idx = cols_ref[:, sl]
+        idx = cols_ref[:, sl].astype(jnp.int32)
         hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
         base = base2_ref[i * nlt + j]
         win = x_ref[pl.ds(base, 8), :]
@@ -53,7 +53,7 @@ def _kernel_probe_staticwin(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *,
     nlt = r // _LANE
     for j in range(nlt):
         sl = slice(j * _LANE, (j + 1) * _LANE)
-        idx = cols_ref[:, sl]
+        idx = cols_ref[:, sl].astype(jnp.int32)
         hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
         lo = jax.lax.bitwise_and(idx, jnp.int32(127))
         win = x_ref[pl.ds(0, 8), :]

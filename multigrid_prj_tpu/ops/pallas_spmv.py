@@ -3,11 +3,13 @@
 The AMG solve phase's hot op is ``y = A x`` on a fixed unstructured sparsity
 (the reference's CSR row scans, ``AMG/src/CSRMatrix.cpp:24-52``, driven from
 the 10/200/10 GS sweeps at ``AMG/src/AMG.cpp:283-303``).  This kernel runs
-the padded-ELL product at the chip's streaming speed of light:
-**72 G slots/s = 648 GB/s** on v5e (1M-row K=8 RCM band, f32,
-differential-timed dependent chain, block_rows=16384) — the measured
-single-pass streaming ceiling of this chip (~650 GB/s; nominal HBM
-819 GB/s).  The XLA ``jnp.take``-gather lowering of the same product
+the padded-ELL product at **75.9 G slots/s** on v5e (1M-row K=8 RCM band,
+f32 values + int16 relative columns = 6 B/slot, differential-timed
+dependent chain, block_rows=16384).  The int32-column variant measured
+71-72 G slots/s = 569-648 GB/s, i.e. at the chip's single-pass streaming
+ceiling (~650 GB/s measured; nominal HBM 819 GB/s); int16 columns trade
+streamed bytes for a cheap widening cast for a further +7%.  The XLA
+``jnp.take``-gather lowering of the same product
 (``ops/sparse.py:ELLMatrix.spmv``) measures ~13x slower; numbers in
 ``benchmarks/spmv_bench.py``.
 
@@ -33,7 +35,8 @@ lane tile):
   PrefetchScalarGridSpec so block index maps and the in-kernel dynamic
   window slices know their x-tiles before the block runs.
 
-HBM traffic: vals + cols stream once (8 B per padded nnz), x is read once
+HBM traffic: vals + cols stream once (4+2 B per padded nnz; column ids
+are int16 relative offsets), x is read once
 into VMEM, y written once — the ELL speed of light.  Compute: ~4 VPU ops
 per window tile per (K, 128) tile of nonzeros.
 
@@ -72,7 +75,9 @@ def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
     nlt = r // _LANE
     for j in range(nlt):
         sl = slice(j * _LANE, (j + 1) * _LANE)
-        idx = cols_ref[:, sl]
+        # cols are stored int16 (relative ids < 1024): 6 B/slot streamed
+        # instead of 8 — measured +7% on v5e (bit-identical results)
+        idx = cols_ref[:, sl].astype(jnp.int32)
         hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
         lo = jax.lax.bitwise_and(idx, jnp.int32(127))
         base = base2_ref[i * nlt + j]
@@ -102,7 +107,7 @@ def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
     nlt = r // _LANE
     for j in range(nlt):
         sl = slice(j * _LANE, (j + 1) * _LANE)
-        idx = cols_ref[:, sl]
+        idx = cols_ref[:, sl].astype(jnp.int32)
         hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
         lo = jax.lax.bitwise_and(idx, jnp.int32(127))
         base = base2_ref[i * nlt + j]
@@ -120,7 +125,7 @@ class PallasELL:
     """ELL matrix prepared for the Pallas SpMV kernel (slot-major, relative
     banded column ids, per-lane-tile window bases)."""
 
-    colsT_rel: jax.Array  # (K_pad, n_pad) int32
+    colsT_rel: jax.Array  # (K_pad, n_pad) int16 (relative ids < 1024)
     valsT: jax.Array  # (K_pad, n_pad)
     base2: jax.Array  # (n_pad // 128,) int32 window base x-tile per lane tile
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
@@ -204,9 +209,9 @@ class PallasELL:
         if t_win > min(max_t_win, 8):
             return None
         rel = cols - (base2.astype(np.int64).repeat(_LANE)[:, None] << 7)
-        assert rel.min() >= 0 and rel.max() < 8 * _LANE
+        assert rel.min() >= 0 and rel.max() < 8 * _LANE  # always fits int16
         return PallasELL(
-            colsT_rel=jnp.asarray(rel.T.astype(np.int32)),
+            colsT_rel=jnp.asarray(rel.T.astype(np.int16)),
             valsT=jnp.asarray(vals.T, dtype=dtype),
             base2=jnp.asarray(base2),
             shape=(n, m),
@@ -273,7 +278,7 @@ class PallasELL:
             grid_spec=grid_spec,
             cost_estimate=pl.CostEstimate(
                 flops=2 * k_pad * n_pad,
-                bytes_accessed=8 * k_pad * n_pad + 4 * (self.m_pad + n_pad),
+                bytes_accessed=6 * k_pad * n_pad + 4 * (self.m_pad + n_pad),
                 transcendentals=0,
             ),
             interpret=interpret,
@@ -338,7 +343,7 @@ class PallasELL:
             grid_spec=grid_spec,
             cost_estimate=pl.CostEstimate(
                 flops=2 * k_pad * n_pad * nvec,
-                bytes_accessed=8 * k_pad * n_pad
+                bytes_accessed=6 * k_pad * n_pad
                 + 4 * nvec * (self.m_pad + n_pad),
                 transcendentals=0,
             ),
