@@ -59,6 +59,19 @@ def _fence(r) -> float:
     return float(r[(0,) * getattr(r, "ndim", 1)]) if hasattr(r, "ndim") else float(r)
 
 
+def _retry(fn, attempts: int = 4, sleep_s: float = 10.0):
+    """Re-run ``fn`` on transient failures (the remote AOT compile tunnel
+    occasionally drops a response mid-body; jit caches persist across
+    attempts, so a retry resumes where the compile left off)."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception:
+            if attempt == attempts - 1:
+                raise
+            time.sleep(sleep_s)
+
+
 def _timed_pair(few, many, u, n_applies_delta: int, reps: int = 5) -> float:
     """Median overhead-corrected time for ``n_applies_delta`` extra applies.
 
@@ -246,15 +259,15 @@ def main() -> None:
         "fused_group": FUSE,
     }
     try:
-        extra["ell_spmv_pallas_nnz_per_s"] = measure_ell_spmv()
+        extra["ell_spmv_pallas_nnz_per_s"] = _retry(measure_ell_spmv)
     except Exception as e:  # secondary metrics must never kill the bench
         extra["ell_spmv_error"] = str(e)[:200]
     try:
-        extra["ell_spmm_nvec4_effective_nnz_per_s"] = measure_ell_spmm()
+        extra["ell_spmm_nvec4_effective_nnz_per_s"] = _retry(measure_ell_spmm)
     except Exception as e:
         extra["ell_spmm_error"] = str(e)[:200]
     try:
-        ms, iters_v, rel = measure_vcycle_ff32()
+        ms, iters_v, rel = _retry(measure_vcycle_ff32)
         extra["vcycle_1025_ff32_to_1e8_ms"] = ms
         extra["vcycle_1025_ff32_iters"] = iters_v
         extra["vcycle_1025_ff32_rel_residual"] = rel

@@ -9,6 +9,11 @@ pass (available via ``--reference-pass``).
 
 Usage:
   python -m multigrid_prj_tpu.cli.amg_main -mesh mesh1.msh -levels 5
+  python -m multigrid_prj_tpu.cli.amg_main -matrix system.mtx -rhs b.mtx
+
+The second form skips FEM assembly and runs AMG directly on an imported
+MatrixMarket (or reference-triplet) system — BASELINE config 3's
+"AMG on imported MatrixMarket system".
 """
 
 from __future__ import annotations
@@ -20,7 +25,18 @@ import time
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="amg_main", description=__doc__)
-    p.add_argument("-mesh", required=True, help="gmsh 4.1 ASCII .msh file")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("-mesh", help="gmsh 4.1 ASCII .msh file")
+    src.add_argument("-matrix",
+                     help="pre-assembled system: MatrixMarket .mtx "
+                          "(coordinate/array, general/symmetric) or the "
+                          "reference's 'rows cols nnz' triplet text "
+                          "(BASELINE config 3: AMG on an imported "
+                          "MatrixMarket system)")
+    p.add_argument("-rhs", default=None,
+                   help="with -matrix: right-hand side as a vector file "
+                        "(reference x.mtx layout: n then one value/line) or "
+                        "MatrixMarket array; default: b = A @ ones")
     p.add_argument("-levels", type=int, default=5,
                    help="max AMG levels (reference: 5, AMG/src/main.cpp:126)")
     p.add_argument("-order", type=int, choices=(1, 2, 3), default=1,
@@ -72,14 +88,46 @@ def main(argv=None) -> int:
     )
 
     t0 = time.perf_counter()
-    try:
-        mesh = parse_msh(args.mesh)
-    except (OSError, ValueError) as e:
-        print(f"Error: cannot read mesh {args.mesh!r}: {e}")
-        return 1
-    print(f"Mesh imported! There are {mesh.n_nodes} nodes and "
-          f"{mesh.n_elements} elements.")
-    if args.order == 2:
+    mesh = None
+    if args.matrix is not None:
+        from multigrid_prj_tpu.ops.sparse import HostCSR
+        from multigrid_prj_tpu.utils.io import load_matrix_coo, load_vector
+
+        try:
+            rows, cols, vals, shape = load_matrix_coo(args.matrix)
+        except (OSError, ValueError) as e:
+            print(f"Error: cannot read matrix {args.matrix!r}: {e}")
+            return 1
+        if shape[0] != shape[1]:
+            print(f"Error: system matrix must be square, got {shape}")
+            return 1
+        A = HostCSR.from_coo(rows, cols, vals, shape)
+        if args.rhs is not None:
+            try:
+                rhs = load_vector(args.rhs)
+            except (OSError, ValueError):
+                r2, c2, v2, s2 = load_matrix_coo(args.rhs)
+                rhs = np.zeros(s2[0] * s2[1])
+                rhs[r2 * s2[1] + c2] = v2
+            if rhs.size != shape[0]:
+                print(f"Error: rhs has {rhs.size} entries, matrix has "
+                      f"{shape[0]} rows")
+                return 1
+        else:
+            rhs = A.spmv(np.ones(shape[0]))
+        print(f"Matrix imported! {A.shape[0]} dofs, {A.nnz} non zero "
+              "elements.")
+    else:
+        try:
+            mesh = parse_msh(args.mesh)
+        except (OSError, ValueError) as e:
+            print(f"Error: cannot read mesh {args.mesh!r}: {e}")
+            return 1
+        print(f"Mesh imported! There are {mesh.n_nodes} nodes and "
+              f"{mesh.n_elements} elements.")
+    if mesh is None:
+        pass
+    elif args.order == 2:
         hmesh = p2_mesh(mesh)
         print(f"P2 dofs: {hmesh.n_dofs} ({hmesh.n_dofs - mesh.n_nodes} edge "
               "midpoints)")
@@ -90,10 +138,11 @@ def main(argv=None) -> int:
               f"({hmesh.n_dofs - mesh.n_nodes - mesh.n_elements} edge "
               f"third-points, {mesh.n_elements} barycenters)")
         A, rhs = assemble_p3(hmesh)
-    else:
+    elif mesh is not None:
         A, rhs = assemble_p1(mesh)
-    print(f"Matrix created succesfully! {A.shape[0]} dofs, "
-          f"{A.nnz} non zero elements.")
+    if mesh is not None:
+        print(f"Matrix created succesfully! {A.shape[0]} dofs, "
+              f"{A.nnz} non zero elements.")
 
     solver = AMGSolver(
         A, num_levels=args.levels, theta=args.theta,
@@ -137,6 +186,15 @@ def main(argv=None) -> int:
     t1 = time.perf_counter()
     print(f"||Solving elapsed time: {t1 - t0:.3f} sec<br>")
 
+    if mesh is None:
+        # no geometry to export — write the solution vector in the
+        # reference's x.mtx layout instead
+        from multigrid_prj_tpu.utils.io import save_vector
+
+        out = args.o if args.o != "output.vtu" else "x.mtx"
+        save_vector(out, np.asarray(x))
+        print(f"Solution correctly saved in {out}")
+        return 0
     if args.order == 2:
         export_vtu_p2(args.o, hmesh, np.asarray(x))
     elif args.order == 3:
