@@ -59,6 +59,21 @@ def _fence(r) -> float:
     return float(r[(0,) * getattr(r, "ndim", 1)]) if hasattr(r, "ndim") else float(r)
 
 
+def _is_transient(e: Exception) -> bool:
+    """Transient tunnel/transport failures worth retrying; deterministic
+    errors (shape/compile/type) re-raise immediately instead of burning
+    ~30 s of retry sleeps per metric."""
+    if isinstance(e, (TypeError, ValueError, AttributeError, KeyError,
+                      IndexError, NotImplementedError)):
+        return False
+    msg = str(e).lower()
+    return any(s in msg for s in (
+        "response body", "closed before", "deadline", "unavailable",
+        "connection", "socket", "timeout", "transport", "stream",
+        "internal", "aborted", "reset",
+    ))
+
+
 def _retry(fn, attempts: int = 4, sleep_s: float = 10.0):
     """Re-run ``fn`` on transient failures (the remote AOT compile tunnel
     occasionally drops a response mid-body; jit caches persist across
@@ -66,8 +81,8 @@ def _retry(fn, attempts: int = 4, sleep_s: float = 10.0):
     for attempt in range(attempts):
         try:
             return fn()
-        except Exception:
-            if attempt == attempts - 1:
+        except Exception as e:
+            if attempt == attempts - 1 or not _is_transient(e):
                 raise
             time.sleep(sleep_s)
 
@@ -83,8 +98,8 @@ def _timed_pair(few, many, u, n_applies_delta: int, reps: int = 5) -> float:
             _fence(few(u))
             _fence(many(u))
             break
-        except Exception:
-            if attempt == 3:
+        except Exception as e:
+            if attempt == 3 or not _is_transient(e):
                 raise
             time.sleep(10)
     diffs = []

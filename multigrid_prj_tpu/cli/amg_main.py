@@ -104,11 +104,17 @@ def main(argv=None) -> int:
         A = HostCSR.from_coo(rows, cols, vals, shape)
         if args.rhs is not None:
             try:
-                rhs = load_vector(args.rhs)
-            except (OSError, ValueError):
-                r2, c2, v2, s2 = load_matrix_coo(args.rhs)
-                rhs = np.zeros(s2[0] * s2[1])
-                rhs[r2 * s2[1] + c2] = v2
+                try:
+                    rhs = load_vector(args.rhs)
+                except (OSError, ValueError):
+                    r2, c2, v2, s2 = load_matrix_coo(args.rhs)
+                    rhs = np.zeros(s2[0] * s2[1])
+                    # accumulate duplicate triplets (COO semantics, matching
+                    # HostCSR.from_coo) instead of last-write-wins
+                    np.add.at(rhs, r2 * s2[1] + c2, v2)
+            except (OSError, ValueError) as e:
+                print(f"Error: cannot read rhs {args.rhs!r}: {e}")
+                return 1
             if rhs.size != shape[0]:
                 print(f"Error: rhs has {rhs.size} entries, matrix has "
                       f"{shape[0]} rows")

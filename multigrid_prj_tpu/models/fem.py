@@ -271,12 +271,14 @@ def solution_on_mesh(mesh: TriangularMesh, sol_interior: np.ndarray,
     return u
 
 
-def export_vtu(path: str, mesh: TriangularMesh, sol_interior: np.ndarray,
-               g: Callable = default_boundary_function) -> None:
-    """Hand-written XML ``UnstructuredGrid`` writer (``FEM.cpp:318-412``):
-    points, triangle connectivity, offsets, cell type 5, point scalar ``u``."""
-    u = solution_on_mesh(mesh, sol_interior, g)
-    n, m = mesh.n_nodes, mesh.n_elements
+def _write_vtu(path: str, points: np.ndarray, conn: np.ndarray,
+               cell_type: int, u: np.ndarray) -> None:
+    """Shared XML ``UnstructuredGrid`` writer (``FEM.cpp:318-412``): points,
+    cell connectivity/offsets/types, one point scalar ``u``.  ``conn`` is
+    ``(n_cells, dofs_per_cell)``; ``cell_type`` is the VTK cell type id
+    (5 = linear triangle, 22 = quadratic triangle)."""
+    n, m = points.shape[0], conn.shape[0]
+    per = conn.shape[1] if m else 0
     with open(path, "w") as fh:
         fh.write('<?xml version="1.0"?>\n')
         fh.write('<VTKFile type="UnstructuredGrid" version="0.1" '
@@ -286,22 +288,22 @@ def export_vtu(path: str, mesh: TriangularMesh, sol_interior: np.ndarray,
         fh.write("      <Points>\n")
         fh.write('        <DataArray type="Float64" NumberOfComponents="3" '
                  'format="ascii">\n')
-        for x, y in mesh.nodes:
+        for x, y in points:
             fh.write(f"          {x} {y} 0\n")
         fh.write("        </DataArray>\n      </Points>\n")
         fh.write("      <Cells>\n")
         fh.write('        <DataArray type="Int32" Name="connectivity" '
                  'format="ascii">\n')
-        for a, b, c in mesh.triangles:
-            fh.write(f"          {a} {b} {c}\n")
+        for row in conn:
+            fh.write("          " + " ".join(str(v) for v in row) + "\n")
         fh.write("        </DataArray>\n")
         fh.write('        <DataArray type="Int32" Name="offsets" format="ascii">\n')
         for k in range(1, m + 1):
-            fh.write(f"          {3 * k}\n")
+            fh.write(f"          {per * k}\n")
         fh.write("        </DataArray>\n")
         fh.write('        <DataArray type="UInt8" Name="types" format="ascii">\n')
         for _ in range(m):
-            fh.write("          5\n")
+            fh.write(f"          {cell_type}\n")
         fh.write("        </DataArray>\n      </Cells>\n")
         fh.write('      <PointData Scalars="u">\n')
         fh.write('        <DataArray type="Float64" Name="u" format="ascii">\n')
@@ -309,6 +311,13 @@ def export_vtu(path: str, mesh: TriangularMesh, sol_interior: np.ndarray,
             fh.write(f"          {v}\n")
         fh.write("        </DataArray>\n      </PointData>\n")
         fh.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
+
+
+def export_vtu(path: str, mesh: TriangularMesh, sol_interior: np.ndarray,
+               g: Callable = default_boundary_function) -> None:
+    """VTU export of a P1 solution (cell type 5) — ``FEM.cpp:318-412``."""
+    u = solution_on_mesh(mesh, sol_interior, g)
+    _write_vtu(path, mesh.nodes, mesh.triangles, 5, u)
 
 
 # -- P2 (quadratic) elements ---------------------------------------------------
@@ -468,40 +477,8 @@ def export_vtu_p2(path: str, p2: P2Mesh, sol_interior: np.ndarray,
     v0 v1 v2 m01 m12 m20) — the higher-order extension of ``export_to_vtu``
     (``AMG/src/FEM.cpp:318-412``)."""
     u = p2_solution_on_dofs(p2, sol_interior, g)
-    n, m = p2.n_dofs, p2.base.n_elements
     conn = p2.tri_dofs[:, [0, 1, 2, 3, 4, 5]]  # e02 == edge (2,0)
-    with open(path, "w") as fh:
-        fh.write('<?xml version="1.0"?>\n')
-        fh.write('<VTKFile type="UnstructuredGrid" version="0.1" '
-                 'byte_order="LittleEndian">\n')
-        fh.write("  <UnstructuredGrid>\n")
-        fh.write(f'    <Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n')
-        fh.write("      <Points>\n")
-        fh.write('        <DataArray type="Float64" NumberOfComponents="3" '
-                 'format="ascii">\n')
-        for x, y in p2.dof_coords:
-            fh.write(f"          {x} {y} 0\n")
-        fh.write("        </DataArray>\n      </Points>\n")
-        fh.write("      <Cells>\n")
-        fh.write('        <DataArray type="Int32" Name="connectivity" '
-                 'format="ascii">\n')
-        for row in conn:
-            fh.write("          " + " ".join(str(v) for v in row) + "\n")
-        fh.write("        </DataArray>\n")
-        fh.write('        <DataArray type="Int32" Name="offsets" format="ascii">\n')
-        for k in range(1, m + 1):
-            fh.write(f"          {6 * k}\n")
-        fh.write("        </DataArray>\n")
-        fh.write('        <DataArray type="UInt8" Name="types" format="ascii">\n')
-        for _ in range(m):
-            fh.write("          22\n")
-        fh.write("        </DataArray>\n      </Cells>\n")
-        fh.write('      <PointData Scalars="u">\n')
-        fh.write('        <DataArray type="Float64" Name="u" format="ascii">\n')
-        for v in u:
-            fh.write(f"          {v}\n")
-        fh.write("        </DataArray>\n      </PointData>\n")
-        fh.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
+    _write_vtu(path, p2.dof_coords, conn, 22, u)
 
 
 # -- P3 (cubic) elements --------------------------------------------------------
@@ -701,36 +678,4 @@ def export_vtu_p3(path: str, p3: P3Mesh, sol_interior: np.ndarray,
 def export_vtu_field(path: str, mesh: TriangularMesh,
                      u_nodes: np.ndarray) -> None:
     """P1 VTU writer for an arbitrary full nodal field."""
-    n, m = mesh.n_nodes, mesh.n_elements
-    with open(path, "w") as fh:
-        fh.write('<?xml version="1.0"?>\n')
-        fh.write('<VTKFile type="UnstructuredGrid" version="0.1" '
-                 'byte_order="LittleEndian">\n')
-        fh.write("  <UnstructuredGrid>\n")
-        fh.write(f'    <Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n')
-        fh.write("      <Points>\n")
-        fh.write('        <DataArray type="Float64" NumberOfComponents="3" '
-                 'format="ascii">\n')
-        for x, y in mesh.nodes:
-            fh.write(f"          {x} {y} 0\n")
-        fh.write("        </DataArray>\n      </Points>\n")
-        fh.write("      <Cells>\n")
-        fh.write('        <DataArray type="Int32" Name="connectivity" '
-                 'format="ascii">\n')
-        for a, b, c in mesh.triangles:
-            fh.write(f"          {a} {b} {c}\n")
-        fh.write("        </DataArray>\n")
-        fh.write('        <DataArray type="Int32" Name="offsets" format="ascii">\n')
-        for k in range(1, m + 1):
-            fh.write(f"          {3 * k}\n")
-        fh.write("        </DataArray>\n")
-        fh.write('        <DataArray type="UInt8" Name="types" format="ascii">\n')
-        for _ in range(m):
-            fh.write("          5\n")
-        fh.write("        </DataArray>\n      </Cells>\n")
-        fh.write('      <PointData Scalars="u">\n')
-        fh.write('        <DataArray type="Float64" Name="u" format="ascii">\n')
-        for v in u_nodes:
-            fh.write(f"          {v}\n")
-        fh.write("        </DataArray>\n      </PointData>\n")
-        fh.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
+    _write_vtu(path, mesh.nodes, mesh.triangles, 5, u_nodes)

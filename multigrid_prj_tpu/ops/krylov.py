@@ -26,6 +26,9 @@ class KrylovResult:
     iterations: int
     rel_residual: float
     converged: bool
+    # per-iteration relative residual norms ([initial, after it 1, ...]);
+    # only populated when the solver was called with history=True
+    history: Optional[jax.Array] = None
 
 
 def _dot(a, b):
@@ -39,11 +42,15 @@ def bicgstab(
     tol: float = 1e-11,
     maxit: Optional[int] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    history: bool = False,
 ) -> KrylovResult:
     """Preconditioned BiCGSTAB for ``A x = b``; returns :class:`KrylovResult`.
 
     ``M`` approximates ``A^{-1}`` (identity if omitted — the reference's
     configuration).  All control flow is a single ``lax.while_loop``.
+    ``history=True`` records the per-iteration relative residual norms
+    inside the loop (the reference's ``MGGS4.txt``-style artifact the web
+    chart plots, ``WebInterface/home.php:136-198``).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -57,14 +64,16 @@ def bicgstab(
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     r0 = b - A(x0)
     rhat = r0
+    hist0 = jnp.full((maxit + 1,) if history else (1,), jnp.nan, b.dtype)
+    hist0 = hist0.at[0].set(jnp.sqrt(_dot(r0, r0).real) / bnorm)
 
     def cond(st):
-        _, r, *_, k, ok = st
+        _, r, *_, k, ok, _h = st
         rn = jnp.sqrt(_dot(r, r).real)
         return (k < maxit) & (rn > tol * bnorm) & ok
 
     def body(st):
-        x, r, p, v, rho, alpha, omega, k, ok = st
+        x, r, p, v, rho, alpha, omega, k, ok, hist = st
         rho1 = _dot(rhat, r)
         beta = (rho1 / jnp.where(jnp.abs(rho) > eps, rho, eps)) * (
             alpha / jnp.where(jnp.abs(omega) > eps, omega, eps)
@@ -82,20 +91,24 @@ def bicgstab(
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         ok = (jnp.abs(rho1) > eps) & (jnp.abs(omega) > eps)
-        return x, r, p, v, rho1, alpha, omega, k + 1, ok
+        if history:
+            hist = hist.at[k + 1].set(jnp.sqrt(_dot(r, r).real) / bnorm)
+        return x, r, p, v, rho1, alpha, omega, k + 1, ok, hist
 
     one = jnp.asarray(1.0, dtype=b.dtype)
     state = (
         x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
-        one, one, one, jnp.int32(0), jnp.bool_(True),
+        one, one, one, jnp.int32(0), jnp.bool_(True), hist0,
     )
-    x, r, *_, k, _ok = lax.while_loop(cond, body, state)
+    x, r, *_, k, _ok, hist = lax.while_loop(cond, body, state)
     rel = jnp.sqrt(_dot(r, r).real) / bnorm
+    k = int(k)
     return KrylovResult(
         x=x,
-        iterations=int(k),
+        iterations=k,
         rel_residual=float(rel),
         converged=bool(rel <= tol),
+        history=hist[: k + 1] if history else None,
     )
 
 
@@ -106,6 +119,7 @@ def cg(
     tol: float = 1e-11,
     maxit: Optional[int] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    history: bool = False,
 ) -> KrylovResult:
     """Preconditioned conjugate gradients for SPD ``A`` (framework extension)."""
     if x0 is None:
@@ -118,14 +132,16 @@ def cg(
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     r0 = b - A(x0)
     z0 = M(r0)
+    hist0 = jnp.full((maxit + 1,) if history else (1,), jnp.nan, b.dtype)
+    hist0 = hist0.at[0].set(jnp.sqrt(_dot(r0, r0).real) / bnorm)
 
     def cond(st):
-        _, r, *_rest, k = st
+        _, r, *_rest, k, _h = st
         rn = jnp.sqrt(_dot(r, r).real)
         return (k < maxit) & (rn > tol * bnorm)
 
     def body(st):
-        x, r, z, p, rz, k = st
+        x, r, z, p, rz, k, hist = st
         Ap = A(p)
         alpha = rz / _dot(p, Ap)
         x = x + alpha * p
@@ -133,10 +149,14 @@ def cg(
         z = M(r)
         rz1 = _dot(r, z)
         p = z + (rz1 / rz) * p
-        return x, r, z, p, rz1, k + 1
+        if history:
+            hist = hist.at[k + 1].set(jnp.sqrt(_dot(r, r).real) / bnorm)
+        return x, r, z, p, rz1, k + 1, hist
 
-    state = (x0, r0, z0, z0, _dot(r0, z0), jnp.int32(0))
-    x, r, *_rest, k = lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, _dot(r0, z0), jnp.int32(0), hist0)
+    x, r, *_rest, k, hist = lax.while_loop(cond, body, state)
     rel = jnp.sqrt(_dot(r, r).real) / bnorm
-    return KrylovResult(x=x, iterations=int(k), rel_residual=float(rel),
-                        converged=bool(rel <= tol))
+    k = int(k)
+    return KrylovResult(x=x, iterations=k, rel_residual=float(rel),
+                        converged=bool(rel <= tol),
+                        history=hist[: k + 1] if history else None)

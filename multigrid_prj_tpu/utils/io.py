@@ -122,7 +122,9 @@ def load_matrix_market(path: str | os.PathLike):
     ``coordinate`` (sparse) and ``array`` (dense, column-major), fields
     ``real``/``integer``/``pattern`` (pattern entries get value 1.0),
     symmetries ``general``/``symmetric``/``skew-symmetric`` (the stored
-    triangle is expanded to the full matrix).
+    triangle is expanded to the full matrix; coordinate format only —
+    array-format symmetric files use a packed-triangle layout this loader
+    rejects explicitly).
     """
     with open(path) as fh:
         banner = fh.readline().split()
@@ -137,9 +139,20 @@ def load_matrix_market(path: str | os.PathLike):
             raise ValueError(f"{path}: complex matrices are not supported")
         line = fh.readline()
         while line.lstrip().startswith("%") or not line.strip():
+            if line == "":  # EOF — readline() returns '' forever from here
+                raise ValueError(f"{path}: missing size line")
             line = fh.readline()
         sizes = [int(t) for t in line.split()]
         if fmt_kind == "array":
+            if symmetry != "general":
+                # MM array symmetric/skew files store only the n(n+1)/2
+                # lower-triangle values (packed); this loader does not
+                # unpack that layout — fail loudly instead of misreading.
+                raise ValueError(
+                    f"{path}: array-format {symmetry!r} matrices (packed "
+                    "lower triangle) are not supported; convert to "
+                    "coordinate format"
+                )
             r, c = sizes
             vals = np.loadtxt(fh, dtype=np.float64).reshape(-1)
             if vals.size != r * c:

@@ -24,9 +24,17 @@ import argparse
 import inspect
 import json
 import os
+import threading
 import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# One solve at a time: ThreadingHTTPServer handles each POST on its own
+# thread, and two concurrent solves would interleave writes to MGGS4.txt /
+# x.mtx (and contend for the single TPU).  The reference has the same
+# serialization implicitly — PHP shells out to one binary at a time per
+# request, writing the same files (``home.php:103,127-128``).
+_SOLVE_LOCK = threading.Lock()
 
 PAGE = """<!DOCTYPE html>
 <html><head><title>multigrid_prj_tpu</title>
@@ -143,7 +151,8 @@ class Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         form = dict(urllib.parse.parse_qsl(self.rfile.read(length).decode()))
         try:
-            result = run_solver(form, self.workdir)
+            with _SOLVE_LOCK:
+                result = run_solver(form, self.workdir)
             self._send(200, json.dumps(result).encode(), "application/json")
         except Exception as e:  # surface solver errors to the page
             self._send(200, json.dumps({"error": str(e)}).encode(),
@@ -197,11 +206,11 @@ def run_solver(form: dict, workdir: str) -> dict:
 
         h0 = solver.levels[0].h
         res = bicgstab(
-            lambda x: poisson_apply(x, a, h0), b, tol=tol,
-            M=lambda r: solver.step(jnp.zeros_like(r), r),
+            lambda x: poisson_apply(x, a, h0), b, tol=tol, maxit=200,
+            M=lambda r: solver.step(jnp.zeros_like(r), r), history=True,
         )
         u = res.x
-        hist = np.asarray([1.0, res.rel_residual])
+        hist = np.asarray(res.history)  # per-iteration, from inside the loop
         iters, converged = res.iterations, bool(res.converged)
     else:
         out = solver.solve(b)

@@ -108,6 +108,28 @@ def test_mm_rejects_garbage(tmp_path):
         load_matrix_market(path)
 
 
+def test_mm_truncated_file_raises_not_hangs(tmp_path):
+    """A banner-plus-comments-only file must raise, not spin at EOF
+    (readline() returns '' forever, which the blank-skip loop used to
+    treat as a blank line)."""
+    path = tmp_path / "trunc.mtx"
+    path.write_text("%%MatrixMarket matrix coordinate real general\n"
+                    "% comment only, no size line\n")
+    with pytest.raises(ValueError, match="missing size line"):
+        load_matrix_market(path)
+
+
+def test_mm_array_symmetric_rejected_explicitly(tmp_path):
+    """Array-format symmetric files store a packed lower triangle; the
+    loader documents the limitation in behavior (clean error), not a
+    wrong-size crash."""
+    path = tmp_path / "arrsym.mtx"
+    path.write_text("%%MatrixMarket matrix array real symmetric\n"
+                    "2 2\n1.0\n2.0\n3.0\n")
+    with pytest.raises(ValueError, match="array-format"):
+        load_matrix_market(path)
+
+
 def test_amg_cli_on_imported_mtx_system(tmp_path, capsys):
     """End-to-end: AMG V-cycle solve on a MatrixMarket-imported 2D FD
     Poisson system (no mesh, no FEM), solution written as a vector file."""
