@@ -35,8 +35,11 @@ Capability parity with the reference's AMG sub-project (``AMG/``):
 TPU-native design: setup runs once on the host (NumPy, mirroring the
 reference's setup/solve split); every level's operator is shipped to device
 as a padded ELL matrix, the lexicographic Gauss-Seidel becomes *multicolor*
-Gauss-Seidel (greedy host coloring, one fused masked update per color), and
-the whole V-cycle is a single jitted computation.
+Gauss-Seidel (greedy host coloring, one fused masked update per color) on
+CPU and *Chebyshev* on TPU by default (its hot op is plain SpMV, which
+rides the Pallas ELL kernel; mcgs's per-color gathers would not), and the
+whole V-cycle is a single jitted computation recording the per-iteration
+residual history.
 """
 
 from __future__ import annotations
@@ -51,6 +54,42 @@ import numpy as np
 from multigrid_prj_tpu.ops.sparse import ELLMatrix, HostCSR, rap
 
 THETA_DEFAULT = 0.2  # AMG/include/AMG.hpp:21 (EPSILON)
+
+# Static residual-history buffer length recorded inside the solve loops
+# (tol/maxit are traced, so the buffer cannot size itself off maxit; past
+# the cap the last slot keeps the newest value).
+HIST_CAP = 512
+
+
+class AMGSolveResult(tuple):
+    """``(x, iterations, rel_residual)`` triple with a ``history`` attribute.
+
+    Unpacks exactly like the historical 3-tuple return of
+    :meth:`AMGSolver.solve` (``x, k, rel = solver.solve(b)``), and carries
+    the per-iteration relative residual norms — the AMG analog of the GMG
+    ``SolveResult.history`` / the reference's ``MGGS4.txt`` artifact
+    (``GeometricMultigrid/src/main.cpp:74,87,127``; the reference's AMG
+    prints residuals but never records them, ``AMG/src/AMG.cpp:256-275``).
+    """
+
+    history: np.ndarray
+
+    def __new__(cls, x, iterations: int, rel_residual: float, history):
+        self = super().__new__(cls, (x, iterations, rel_residual))
+        self.history = np.asarray(history)
+        return self
+
+    @property
+    def x(self):
+        return self[0]
+
+    @property
+    def iterations(self) -> int:
+        return self[1]
+
+    @property
+    def rel_residual(self) -> float:
+        return self[2]
 
 
 # ---------------------------------------------------------------------------
@@ -294,10 +333,15 @@ def apply_Pt(lvl: "AMGLevel", r: jax.Array) -> jax.Array:
     return lvl.Pt_fast.spmv(r) if lvl.Pt_fast is not None else lvl.Pt.spmv(r)
 
 
-def _to_device_level(A: HostCSR, dtype=jnp.float64) -> tuple:
+def _to_device_level(A: HostCSR, dtype=jnp.float64,
+                     with_colors: bool = True) -> tuple:
     ell = ELLMatrix.from_host_csr(A, dtype=dtype)
     diag_np = A.diagonal()
     diag = jnp.asarray(diag_np, dtype=dtype)
+    if not with_colors:
+        # the coloring (and per-color ELL blocks) only power the mcgs
+        # smoother; skip the O(nnz) host pass + device copies otherwise
+        return ell, diag, jnp.zeros(A.shape[0], jnp.int32), 0, ()
     colors, n_colors = greedy_coloring(A)
     cols_np = np.asarray(ell.cols)
     vals_np = np.asarray(ell.vals, dtype=np.float64)
@@ -395,7 +439,7 @@ class AMGSolver:
         num_levels: int = 5,
         theta: float = THETA_DEFAULT,
         coarsening: str = "pmis",  # "pmis" | "greedy" (reference-compat)
-        smoother: str = "mcgs",  # "mcgs" | "jacobi" | "chebyshev"
+        smoother: str = "auto",  # "auto" | "mcgs" | "jacobi" | "chebyshev"
         cheb_degree: int = 3,
         seed: int = 0,
         min_coarse: int = 8,
@@ -421,6 +465,15 @@ class AMGSolver:
                 "solve_refined() for extended-precision residuals"
             )
         self.dtype = dtype
+        # "auto": multicolor GS on CPU (sequential-GS-quality smoothing,
+        # cheap there), Chebyshev on TPU — mc_gs_sweep's per-color
+        # ``jnp.take`` gather is the ~13x-slow lowering the Pallas kernel
+        # exists to avoid, while Chebyshev's hot op is plain SpMV and rides
+        # ``A_fast`` (ops/pallas_spmv.py).  The out-of-the-box TPU solve
+        # must run the fast path.
+        if smoother == "auto":
+            smoother = ("chebyshev" if jax.default_backend() == "tpu"
+                        else "mcgs")
         self.smoother_name = smoother
         self.cheb_degree = int(cheb_degree)
         coarsen = {"pmis": coarsen_pmis, "greedy": coarsen_greedy}[coarsening]
@@ -467,7 +520,8 @@ class AMGSolver:
                                    interpret=self._pallas_interpret)
 
         for i, M in enumerate(self.host_matrices):
-            ell, diag, colors, n_colors, blocks = _to_device_level(M, dtype)
+            ell, diag, colors, n_colors, blocks = _to_device_level(
+                M, dtype, with_colors=(smoother == "mcgs"))
             lmax = _estimate_lmax(M) if smoother == "chebyshev" else 0.0
             P = Pt = None
             P_fast = Pt_fast = None
@@ -536,19 +590,32 @@ class AMGSolver:
     def _solve_impl(self, x, b, tol, maxit):
         b2 = jnp.sum(b * b)
 
-        def body(state):
-            x, k, _ = state
-            x = self._vcycle_impl(x, b)
+        def rel_of(rn2):
+            return jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
+
+        def rn2_of(x):
             r = b - apply_A(self.levels[0], x)
-            return x, k + 1, jnp.sum(r * r)
+            return jnp.sum(r * r)
+
+        r0 = rn2_of(x)
+        hist = jnp.full((HIST_CAP + 1,), jnp.nan, b.dtype)
+        hist = hist.at[0].set(rel_of(r0))
+
+        def body(state):
+            x, k, _, hist = state
+            x = self._vcycle_impl(x, b)
+            rn2 = rn2_of(x)
+            hist = hist.at[jnp.minimum(k + 1, HIST_CAP)].set(rel_of(rn2))
+            return x, k + 1, rn2, hist
 
         def cond(state):
-            _, k, rn2 = state
+            _, k, rn2, _ = state
             return (k < maxit) & (rn2 > tol * tol * b2)
 
-        x, k, rn2 = jax.lax.while_loop(cond, body, (x, jnp.int32(0), b2))
-        rel = jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
-        return x, k, rel
+        x, k, rn2, hist = jax.lax.while_loop(
+            cond, body, (x, jnp.int32(0), r0, hist)
+        )
+        return x, k, rel_of(rn2), hist
 
 
     # -- permutation translation (internal RCM frame <-> caller frame) -------
@@ -566,7 +633,8 @@ class AMGSolver:
     def solve(self, b, x0=None, tol: float = 1e-10, maxit: int = 100):
         """V-cycle iteration to relative residual ``tol``.
 
-        Returns ``(x, iterations, rel_residual)``.
+        Returns an :class:`AMGSolveResult` — unpacks as
+        ``(x, iterations, rel_residual)`` and carries ``.history``.
         """
         from multigrid_prj_tpu.utils.guards import check_finite
 
@@ -576,10 +644,12 @@ class AMGSolver:
             x0 = jnp.zeros_like(b)
         else:
             x0 = jnp.asarray(self._perm_in(x0), dtype=self.dtype)
-        x, k, rel = self._jit_solve(
+        x, k, rel, hist = self._jit_solve(
             x0, b, jnp.asarray(tol, dtype=self.dtype), jnp.asarray(maxit, jnp.int32)
         )
-        return self._perm_out(x), int(k), float(rel)
+        k = int(k)
+        return AMGSolveResult(self._perm_out(x), k, float(rel),
+                              np.asarray(hist)[: min(k, HIST_CAP) + 1])
 
     def solve_refined(self, b, tol: float = 1e-10, maxit: int = 100):
         """Iterative refinement with ff32 extended-precision residuals.
@@ -614,8 +684,11 @@ class AMGSolver:
             def _impl(b_hi, b_lo, tol, maxit):
                 b2 = jnp.sum(b_hi.astype(f32) ** 2)
 
+                def rel_of(rn2):
+                    return jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
+
                 def body(state):
-                    x_hi, x_lo, k, _ = state
+                    x_hi, x_lo, k, _, hist = state
                     r = ell_residual_ff(A2, b_hi, b_lo, x_hi, x_lo)
                     e = self._vcycle_impl(
                         jnp.zeros_like(r, dtype=self.dtype),
@@ -623,26 +696,32 @@ class AMGSolver:
                     ).astype(f32)
                     x_hi, x_lo = ff_add_f(x_hi, x_lo, e)
                     r2 = ell_residual_ff(A2, b_hi, b_lo, x_hi, x_lo)
-                    return x_hi, x_lo, k + 1, jnp.sum(r2 * r2)
+                    rn2 = jnp.sum(r2 * r2)
+                    hist = hist.at[jnp.minimum(k + 1, HIST_CAP)].set(
+                        rel_of(rn2))
+                    return x_hi, x_lo, k + 1, rn2, hist
 
                 def cond(state):
-                    _, _, k, rn2 = state
+                    _, _, k, rn2, _ = state
                     return (k < maxit) & (rn2 > tol * tol * b2)
 
+                hist = jnp.full((HIST_CAP + 1,), jnp.nan, f32)
+                hist = hist.at[0].set(jnp.asarray(1.0, f32))  # x0 = 0
                 x_hi = jnp.zeros_like(b_hi)
-                x_hi, x_lo, k, rn2 = jax.lax.while_loop(
-                    cond, body, (x_hi, x_hi, jnp.int32(0), b2)
+                x_hi, x_lo, k, rn2, hist = jax.lax.while_loop(
+                    cond, body, (x_hi, x_hi, jnp.int32(0), b2, hist)
                 )
-                rel = jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
-                return x_hi, x_lo, k, rel
+                return x_hi, x_lo, k, rel_of(rn2), hist
 
             self._jit_solve_ff = jax.jit(_impl)
 
-        x_hi, x_lo, k, rel = self._jit_solve_ff(
+        x_hi, x_lo, k, rel, hist = self._jit_solve_ff(
             b_hi, b_lo, jnp.asarray(tol, f32), jnp.asarray(maxit, jnp.int32)
         )
         x = np.asarray(x_hi, np.float64) + np.asarray(x_lo, np.float64)
-        return self._perm_out(x), int(k), float(rel)
+        k = int(k)
+        return AMGSolveResult(self._perm_out(x), k, float(rel),
+                              np.asarray(hist)[: min(k, HIST_CAP) + 1])
 
     def solve_pcg(self, b, x0=None, tol: float = 1e-10, maxit: int = 200):
         """AMG-preconditioned conjugate gradients.
@@ -664,8 +743,10 @@ class AMGSolver:
         res = cg(
             lambda v: apply_A(lvl0, v), b, x0=x0, tol=tol, maxit=maxit,
             M=lambda r: self._vcycle_impl(jnp.zeros_like(r), r),
+            history=True,
         )
-        return self._perm_out(res.x), res.iterations, res.rel_residual
+        return AMGSolveResult(self._perm_out(res.x), res.iterations,
+                              res.rel_residual, np.asarray(res.history))
 
     # -- reference-compat sawtooth pass --------------------------------------
 

@@ -47,8 +47,16 @@ def main(argv=None) -> int:
     p.add_argument("-theta", type=float, default=0.2,
                    help="strength threshold (reference EPSILON, AMG.hpp:21)")
     p.add_argument("-coarsening", choices=("pmis", "greedy"), default="pmis")
-    p.add_argument("-smoother", choices=("mcgs", "jacobi", "chebyshev"),
-                   default="mcgs")
+    p.add_argument("-smoother",
+                   choices=("auto", "mcgs", "jacobi", "chebyshev"),
+                   default="auto",
+                   help="auto = multicolor GS on CPU, Chebyshev on TPU "
+                        "(the SpMV-based smoother rides the Pallas kernel)")
+    p.add_argument("-hist", default="amg_history.txt",
+                   help="residual-history artifact (MGGS4.txt layout); "
+                        "'none' to skip")
+    p.add_argument("-metrics", default=None,
+                   help="write per-solve SolveMetrics JSON to this path")
     p.add_argument("-accel", choices=("none", "pcg"), default="none",
                    help="Krylov acceleration: AMG-preconditioned CG")
     p.add_argument("-tol", type=float, default=1e-10)
@@ -168,29 +176,47 @@ def main(argv=None) -> int:
               "(~eps_f32 * kappa); consider -precision ff32")
 
     t0 = time.perf_counter()
+    result = None
     if args.reference_pass:
         x = solver.reference_sawtooth_pass(np.zeros(A.shape[0]))
         print(f"Residual norm after reference pass: "
               f"{solver.residual_norm(x, rhs):.6e}")
     elif use_ff32 and args.accel == "none":
-        x, iters, rel = solver.solve_refined(rhs, tol=args.tol,
-                                             maxit=args.maxit)
+        result = solver.solve_refined(rhs, tol=args.tol, maxit=args.maxit)
+        x, iters, rel = result
         print(f"ff32-refined V-cycle iterations: {iters}, "
               f"relative residual {rel:.3e}")
         if rel > args.tol:
             print("Warning: not converged")
     elif args.accel == "pcg":
-        x, iters, rel = solver.solve_pcg(rhs, tol=args.tol, maxit=args.maxit)
+        result = solver.solve_pcg(rhs, tol=args.tol, maxit=args.maxit)
+        x, iters, rel = result
         print(f"AMG-PCG iterations: {iters}, relative residual {rel:.3e}")
         if rel > args.tol:
             print("Warning: not converged")
     else:
-        x, iters, rel = solver.solve(rhs, tol=args.tol, maxit=args.maxit)
+        result = solver.solve(rhs, tol=args.tol, maxit=args.maxit)
+        x, iters, rel = result
         print(f"V-cycle iterations: {iters}, relative residual {rel:.3e}")
         if rel > args.tol:
             print("Warning: not converged")
     t1 = time.perf_counter()
     print(f"||Solving elapsed time: {t1 - t0:.3f} sec<br>")
+
+    if result is not None:
+        from multigrid_prj_tpu.utils.metrics import SolveMetrics
+
+        m = SolveMetrics(history=result.history, wall_time_s=t1 - t0,
+                         nnz=A.nnz, cycles=result.iterations,
+                         extra={"levels": solver.level_sizes,
+                                "smoother": solver.smoother_name})
+        print(f"Convergence factor: {m.convergence_factor:.4f}")
+        if args.hist != "none":
+            from multigrid_prj_tpu.utils.io import save_history
+
+            save_history(args.hist, result.history)
+        if args.metrics:
+            m.write_json(args.metrics)
 
     if mesh is None:
         # no geometry to export — write the solution vector in the
