@@ -40,9 +40,25 @@ are int16 relative offsets), x is read once
 into VMEM, y written once — the ELL speed of light.  Compute: ~4 VPU ops
 per window tile per (K, 128) tile of nonzeros.
 
-Falls back (returns ``None`` from :func:`PallasELL.build`) when the vector
-does not fit VMEM (~2M rows) or the post-RCM band is too wide; callers then
-keep the XLA gather path.
+**Windowed-x mode (no size ceiling).**  When the vector does not fit VMEM
+(~2M rows), ``x`` stays in HBM and every ROW BLOCK instead streams just its
+own column window as two ``Wq``-x-tile blocks whose grid position comes
+from scalar-prefetched per-block indices (``q``/``q2``): the first block is
+the ``Wq``-aligned block containing the row block's lowest needed x-tile,
+the second its successor, and their in-kernel concatenation covers any
+window of width <= ``Wq`` regardless of alignment — the same clamped-halo
+trick as the stencil kernels.  x is then read ~once per band overlap
+instead of held resident, so the kernel has NO row-count ceiling (the
+reference's CSR scan, ``AMG/src/CSRMatrix.cpp:24-52``, had none either).
+Measured on v5e: 16.8M rows at 77.5 G slots/s = 99.5% of the 1M-row
+VMEM-resident rate.
+
+Per-lane-tile windows up to ``max_t_win`` (default 32) x-tiles are
+supported; each extra window tile adds ~3 VPU ops per (K, 128) slot tile,
+so wide post-RCM bands (2D FD at >=1M rows: t_win ~ N/64) run VPU-bound at
+a few x the gather path rather than HBM-bound — still the fastest lowering
+available.  Wider bands fall back (``build`` returns ``None``) to the XLA
+gather path.
 """
 
 from __future__ import annotations
@@ -60,11 +76,28 @@ from jax.experimental.pallas import tpu as pltpu
 from multigrid_prj_tpu.ops.sparse import HostCSR
 
 _LANE = 128
-_MAX_X_VMEM = 8 * 1024 * 1024  # x must fit comfortably in VMEM
-_MAX_T_WIN = 8  # window = one 8-sublane x slice; wider bands fall back
+_MAX_X_VMEM = 8 * 1024 * 1024  # VMEM-resident x mode above this falls back
+_MAX_T_WIN = 32  # per-lane-tile window cap in x-tiles (VPU cost ~ t_win)
 
 
-def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
+def _gather_tile(win, idx, k, t_win, dtype):
+    """Lane-gather a (k, 128) tile from a ``(>= t_win, 128)`` window.
+
+    ``idx`` holds window-relative ids (< t_win * 128); per window tile the
+    gather is one broadcast + same-shape ``take_along_axis`` + select —
+    the only dynamic-gather shape Mosaic lowers vectorized.
+    """
+    hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
+    lo = jax.lax.bitwise_and(idx, jnp.int32(127))
+    g = jnp.zeros((k, _LANE), dtype)
+    for t in range(t_win):
+        src = jnp.broadcast_to(win[t, :][None, :], (k, _LANE))
+        g = jnp.where(hi == t, jnp.take_along_axis(src, lo, axis=1), g)
+    return g
+
+
+def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
+                 tw_slice):
     """One row block: r rows x k slots; per lane tile, window-select gather.
 
     ``o_ref`` is an ``(r / 128, 128)`` tile of the output in the same
@@ -75,25 +108,42 @@ def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
     nlt = r // _LANE
     for j in range(nlt):
         sl = slice(j * _LANE, (j + 1) * _LANE)
-        # cols are stored int16 (relative ids < 1024): 6 B/slot streamed
-        # instead of 8 — measured +7% on v5e (bit-identical results)
+        # cols are stored int16 (relative ids < t_win * 128): 6 B/slot
+        # streamed instead of 8 — measured +7% on v5e (bit-identical)
         idx = cols_ref[:, sl].astype(jnp.int32)
-        hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
-        lo = jax.lax.bitwise_and(idx, jnp.int32(127))
         base = base2_ref[i * nlt + j]
-        # ONE dynamic sublane slice per lane tile (the window's 8 x-tiles =
-        # 1024 consecutive entries); the per-window-tile sources are then
-        # cheap static-row broadcasts of it.  (A dynamic slice per (j, t)
-        # measured 4x slower.)
-        win = x_ref[pl.ds(base, 8), :]
-        g = jnp.zeros((k, _LANE), x_ref.dtype)
-        for t in range(t_win):
-            src = jnp.broadcast_to(win[t, :][None, :], (k, _LANE))
-            g = jnp.where(hi == t, jnp.take_along_axis(src, lo, axis=1), g)
+        # ONE dynamic sublane slice per lane tile (the window's tw_slice
+        # x-tiles); the per-window-tile sources are then cheap static-row
+        # broadcasts of it.  (A dynamic slice per (j, t) measured 4x slower.)
+        win = x_ref[pl.ds(base, tw_slice), :]
+        g = _gather_tile(win, idx, k, t_win, x_ref.dtype)
         o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
-def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
+def _spmv_windowed_kernel(base2_ref, q_ref, q2_ref, cols_ref, vals_ref,
+                          x1_ref, x2_ref, o_ref, xw_ref, *, k, r, t_win,
+                          tw_slice):
+    """Windowed-x row block: x arrives as two Wq-tile blocks (the aligned
+    block holding the row block's lowest x-tile and its successor); their
+    copy into the contiguous ``xw`` scratch covers every lane tile's window
+    (Mosaic can ``pl.ds``-slice a ref but not a concatenated value).
+    ``base2`` is stored relative to the first block's start (q[i] * Wq)."""
+    i = pl.program_id(0)
+    nlt = r // _LANE
+    wq = x1_ref.shape[0]
+    xw_ref[:wq] = x1_ref[:]
+    xw_ref[wq:] = x2_ref[:]
+    for j in range(nlt):
+        sl = slice(j * _LANE, (j + 1) * _LANE)
+        idx = cols_ref[:, sl].astype(jnp.int32)
+        base = base2_ref[i * nlt + j]
+        win = xw_ref[pl.ds(base, tw_slice), :]
+        g = _gather_tile(win, idx, k, t_win, xw_ref.dtype)
+        o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
+
+
+def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
+                 tw_slice):
     """Multi-vector variant of :func:`_spmv_kernel`: ``x_ref`` holds ``nvec``
     padded vectors as ``(nvec, S, 128)``; grid = (row blocks, vectors) with
     the vector index MINOR, so A's cols/vals block (indexed by row block
@@ -108,14 +158,9 @@ def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win):
     for j in range(nlt):
         sl = slice(j * _LANE, (j + 1) * _LANE)
         idx = cols_ref[:, sl].astype(jnp.int32)
-        hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
-        lo = jax.lax.bitwise_and(idx, jnp.int32(127))
         base = base2_ref[i * nlt + j]
-        win = x_ref[vv, pl.ds(base, 8), :]
-        g = jnp.zeros((k, _LANE), x_ref.dtype)
-        for t in range(t_win):
-            src = jnp.broadcast_to(win[t, :][None, :], (k, _LANE))
-            g = jnp.where(hi == t, jnp.take_along_axis(src, lo, axis=1), g)
+        win = x_ref[vv, pl.ds(base, tw_slice), :]
+        g = _gather_tile(win, idx, k, t_win, x_ref.dtype)
         o_ref[0, j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
@@ -125,17 +170,25 @@ class PallasELL:
     """ELL matrix prepared for the Pallas SpMV kernel (slot-major, relative
     banded column ids, per-lane-tile window bases)."""
 
-    colsT_rel: jax.Array  # (K_pad, n_pad) int16 (relative ids < 1024)
+    colsT_rel: jax.Array  # (K_pad, n_pad) int16 (relative ids < t_win*128)
     valsT: jax.Array  # (K_pad, n_pad)
     base2: jax.Array  # (n_pad // 128,) int32 window base x-tile per lane tile
+    # windowed mode: per-row-block Wq-aligned x block index and its successor
+    q: Optional[jax.Array]  # (n_blocks,) int32 | None (VMEM-x mode)
+    q2: Optional[jax.Array]  # (n_blocks,) int32 | None
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     t_win: int = dataclasses.field(metadata=dict(static=True))
     m_pad: int = dataclasses.field(metadata=dict(static=True))
     block_rows: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    wq: int = dataclasses.field(default=0, metadata=dict(static=True))
     # run the kernel in interpreter mode (CPU tests of TPU code paths)
     interpret: bool = dataclasses.field(default=False,
                                         metadata=dict(static=True))
+
+    @property
+    def windowed(self) -> bool:
+        return self.wq > 0
 
     @staticmethod
     def build(
@@ -144,18 +197,24 @@ class PallasELL:
         block_rows: int | None = None,
         max_t_win: int = _MAX_T_WIN,
         interpret: bool = False,
+        max_x_vmem: int = _MAX_X_VMEM,
     ) -> Optional["PallasELL"]:
         """Prepare a CSR matrix for the kernel; ``None`` if unsupported.
 
         The CALLER is responsible for the matrix being banded (RCM-reorder
         first — ``HostCSR.rcm_permutation``/``permute``); this only measures
-        the resulting window widths and refuses pathological ones.
+        the resulting window widths and refuses pathological ones
+        (per-lane-tile window > ``max_t_win`` x-tiles).
 
         ``block_rows=None`` picks the measured-fastest default: 16384 rows
         per grid step (differential-timed ladder on v5e, 1M-row K=8 band:
         1024 -> ~8 G slots/s-equivalent pipeline underutilisation,
         8192 -> 562 GB/s, 16384 -> 648 GB/s = the chip's streaming speed
         of light), capped at the padded row count for small systems.
+
+        x placement: VMEM-resident when the padded vector fits
+        ``max_x_vmem`` (measured-fastest), else the windowed-x HBM mode —
+        no row-count ceiling.
         """
         n, m = csr.shape
         if n == 0 or csr.nnz == 0:
@@ -166,8 +225,6 @@ class PallasELL:
             raise ValueError("block_rows must be a multiple of 1024 "
                              "(8-sublane output tiles)")
         s_tiles = -(-m // _LANE)
-        if s_tiles * _LANE * 4 > _MAX_X_VMEM:
-            return None
         lengths = csr.row_lengths
         k = int(lengths.max())
         k_pad = max(8, -(-k // 8) * 8)
@@ -188,9 +245,13 @@ class PallasELL:
             np.minimum(csr.indptr[:-1], csr.nnz - 1)], 0)
         # empty rows / padding rows inherit a neighboring row's first col so
         # they never widen their lane tile's window
-        for r_ in range(1, n_pad):
-            if r_ >= n or lengths[r_] == 0:
-                first_col[r_] = first_col[r_ - 1]
+        empty = np.zeros(n_pad, dtype=bool)
+        empty[:n] = lengths == 0
+        empty[n:] = True
+        if empty.any():
+            idx_src = np.where(~empty, np.arange(n_pad), 0)
+            np.maximum.accumulate(idx_src, out=idx_src)
+            first_col = first_col[idx_src]
         pad_mask = np.arange(k_pad)[None, :] >= np.concatenate(
             [lengths, np.zeros(n_pad - n, dtype=lengths.dtype)])[:, None]
         cols = np.where(pad_mask, first_col[:, None], cols)
@@ -200,25 +261,52 @@ class PallasELL:
         tile_of_lt = tile_of.reshape(n_lt, _LANE, k_pad)
         lo_t = tile_of_lt.min(axis=(1, 2))
         hi_t = tile_of_lt.max(axis=(1, 2))
-        # the kernel slices an 8-x-tile window per lane tile; pad x by 8
-        # tiles so no base ever clamps (a clamp near the end would inflate
-        # the GLOBAL static t_win and slow every block — measured 2.6x)
-        s_need = s_tiles + 8
         base2 = lo_t.astype(np.int32)
         t_win = int((hi_t - base2).max()) + 1
-        if t_win > min(max_t_win, 8):
+        if t_win > max_t_win:
             return None
         rel = cols - (base2.astype(np.int64).repeat(_LANE)[:, None] << 7)
-        assert rel.min() >= 0 and rel.max() < 8 * _LANE  # always fits int16
+        assert rel.min() >= 0 and rel.max() < t_win * _LANE <= 32768  # int16
+        # the kernel slices a tw_slice-x-tile window per lane tile; pad x
+        # so no base ever clamps (a clamp near the end would inflate the
+        # GLOBAL static t_win and slow every block — measured 2.6x)
+        tw_slice = max(8, t_win)
+        q = q2 = None
+        wq = 0
+        if (s_tiles + tw_slice) * _LANE * 4 > max_x_vmem:
+            # windowed-x: per row block, x arrives as the Wq-aligned block
+            # holding the block's lowest tile plus its successor; Wq must
+            # cover any block's window span regardless of alignment
+            nb = n_pad // block_rows
+            nlt_b = block_rows // _LANE
+            base_b = base2.reshape(nb, nlt_b)
+            hi_b = (base_b + tw_slice).max(axis=1)  # exclusive, per block
+            lo_b = base_b.min(axis=1)
+            span = int((hi_b - lo_b).max())
+            wq = -(-span // 8) * 8
+            q = (lo_b // wq).astype(np.int32)
+            s_pad_tiles = -(-int(hi_b.max()) // wq) * wq
+            n_q = s_pad_tiles // wq
+            q2 = np.minimum(q + 1, n_q - 1).astype(np.int32)
+            # base2 becomes relative to the block's first x block
+            base2 = base2 - (q * wq).repeat(nlt_b)
+            assert base2.min() >= 0 and int(
+                (base2.reshape(nb, nlt_b) + tw_slice).max()) <= 2 * wq
+            m_pad = s_pad_tiles * _LANE
+        else:
+            m_pad = (s_tiles + tw_slice) * _LANE
         return PallasELL(
             colsT_rel=jnp.asarray(rel.T.astype(np.int16)),
             valsT=jnp.asarray(vals.T, dtype=dtype),
             base2=jnp.asarray(base2),
+            q=None if q is None else jnp.asarray(q),
+            q2=None if q2 is None else jnp.asarray(q2),
             shape=(n, m),
             t_win=t_win,
-            m_pad=s_need * _LANE,
+            m_pad=m_pad,
             block_rows=block_rows,
             nnz=csr.nnz,
+            wq=wq,
             interpret=interpret,
         )
 
@@ -259,31 +347,43 @@ class PallasELL:
         r = self.block_rows
         nb = n_pad // r
         nlt = r // _LANE
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
-                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+        tw_slice = max(8, self.t_win)
+        cost = pl.CostEstimate(
+            flops=2 * k_pad * n_pad,
+            bytes_accessed=6 * k_pad * n_pad + 4 * (self.m_pad + n_pad),
+            transcendentals=0,
         )
-        out = pl.pallas_call(
-            functools.partial(
-                _spmv_kernel, k=k_pad, r=r, t_win=self.t_win
-            ),
-            out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
-                                           self.valsT.dtype),
-            grid_spec=grid_spec,
-            cost_estimate=pl.CostEstimate(
-                flops=2 * k_pad * n_pad,
-                bytes_accessed=6 * k_pad * n_pad + 4 * (self.m_pad + n_pad),
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(self.base2, self.colsT_rel, self.valsT, x2d)
-        return out
+        if self.windowed:
+            wq = self.wq
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec((k_pad, r), lambda i, b2, q, q2: (0, i)),
+                    pl.BlockSpec((k_pad, r), lambda i, b2, q, q2: (0, i)),
+                    pl.BlockSpec((wq, _LANE),
+                                 lambda i, b2, q, q2: (q[i], 0)),
+                    pl.BlockSpec((wq, _LANE),
+                                 lambda i, b2, q, q2: (q2[i], 0)),
+                ],
+                out_specs=pl.BlockSpec((nlt, _LANE),
+                                       lambda i, b2, q, q2: (i, 0)),
+                scratch_shapes=[pltpu.VMEM((2 * wq, _LANE),
+                                           self.valsT.dtype)],
+            )
+            return pl.pallas_call(
+                functools.partial(_spmv_windowed_kernel, k=k_pad, r=r,
+                                  t_win=self.t_win, tw_slice=tw_slice),
+                out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
+                                               self.valsT.dtype),
+                grid_spec=grid_spec,
+                cost_estimate=cost,
+                interpret=interpret,
+            )(self.base2, self.q, self.q2, self.colsT_rel, self.valsT,
+              x2d, x2d)
+        return ell_local_spmv2d(self.base2, self.colsT_rel, self.valsT, x2d,
+                                t_win=self.t_win, block_rows=r,
+                                interpret=interpret, cost=cost)
 
 
     # -- multi-vector (SpMM) ---------------------------------------------
@@ -304,8 +404,14 @@ class PallasELL:
 
         A's slots stream from HBM once for the whole block (vs once per
         vector with repeated :meth:`spmv`).  Vector blocks too large for
-        VMEM are processed in chunks that fit."""
+        VMEM are processed in chunks that fit.  Windowed-x matrices (x too
+        large for VMEM at all) fall back to per-vector :meth:`spmv` calls.
+        """
         nvec = X.shape[1]
+        if self.windowed:
+            return jnp.stack(
+                [self.spmv(X[:, v], interpret=interpret)
+                 for v in range(nvec)], axis=1)
         chunk = max(1, _MAX_X_VMEM // (self.m_pad * 4))
         outs = [
             self.unpad_Y(self.spmm2d(self.pad_X(X[:, s:s + chunk]),
@@ -318,6 +424,10 @@ class PallasELL:
                interpret: bool | None = None) -> jax.Array:
         """Padded-layout block product: ``x3d`` is ``(nvec, m_pad/128, 128)``
         (see :meth:`pad_X`); returns ``(nvec, n_pad/128, 128)``."""
+        if self.windowed:
+            raise ValueError("spmm2d needs VMEM-resident x; this matrix is "
+                             "in windowed-x mode — use spmm() (per-vector "
+                             "fallback) instead")
         interpret = self.interpret if interpret is None else interpret
         nvec = x3d.shape[0]
         k_pad, n_pad = self.colsT_rel.shape
@@ -336,7 +446,8 @@ class PallasELL:
         )
         return pl.pallas_call(
             functools.partial(
-                _spmm_kernel, k=k_pad, r=r, t_win=self.t_win
+                _spmm_kernel, k=k_pad, r=r, t_win=self.t_win,
+                tw_slice=max(8, self.t_win),
             ),
             out_shape=jax.ShapeDtypeStruct((nvec, nb * nlt, _LANE),
                                            self.valsT.dtype),
@@ -349,6 +460,52 @@ class PallasELL:
             ),
             interpret=interpret,
         )(self.base2, self.colsT_rel, self.valsT, x3d)
+
+
+def ell_local_spmv2d(base2, colsT_rel, valsT, x2d, *, t_win: int,
+                     block_rows: int, interpret: bool = False,
+                     cost=None) -> jax.Array:
+    """The raw VMEM-resident-x SpMV kernel on explicit arrays.
+
+    Used by :meth:`PallasELL.spmv2d` and by the shard-local apply of the
+    distributed AMG (``parallel/sharded_amg.py``), where the per-shard
+    layout arrays live inside ``shard_map`` and there is no ``PallasELL``
+    object to hold them.
+    """
+    k_pad, n_pad = colsT_rel.shape
+    r = block_rows
+    nb = n_pad // r
+    nlt = r // _LANE
+    if cost is None:
+        cost = pl.CostEstimate(
+            flops=2 * k_pad * n_pad,
+            bytes_accessed=6 * k_pad * n_pad
+            + 4 * (x2d.size + n_pad),
+            transcendentals=0,
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+            pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+    )
+    vma = getattr(jax.typeof(x2d), "vma", frozenset())
+    return pl.pallas_call(
+        functools.partial(
+            _spmv_kernel, k=k_pad, r=r, t_win=t_win,
+            tw_slice=max(8, t_win),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE), valsT.dtype,
+                                       vma=vma),
+        grid_spec=grid_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(base2, colsT_rel, valsT, x2d)
+
 
 
 def rcm_prepared(csr: HostCSR, dtype=jnp.float32, **kw):

@@ -170,6 +170,26 @@ _HALO = 8  # halo block rows (f32 sublane minimum)
 _MAX_FUSED_SWEEPS = 4  # dependency ring grows 2 rows/sweep; 2*4 <= _HALO
 
 
+def _fused_rbgs_passes(x, bx, row, col, c, nl, ml, sweeps, m):
+    """The shared fused RB-GS update: ``sweeps`` full sweeps on the extended
+    block ``x`` with global (row, col) index arrays.  Each color pass
+    reproduces one :func:`_rbgs_color_kernel` launch bit-exactly: update
+    this color's interior points, then pin boundary rows to b."""
+    boundary = (row <= 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
+    parity = (row + col) % 2
+    b_over_c = bx * (1.0 / c)
+    for _ in range(sweeps):
+        for color in (0, 1):
+            north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+            south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+            west = pltpu.roll(x, 1, axis=1)
+            east = pltpu.roll(x, m - 1, axis=1)
+            gs = (b_over_c + north + south + east + west) * 0.25
+            x = jnp.where(boundary, bx,
+                          jnp.where(parity == color, gs, x))
+    return x
+
+
 def _rbgs_fused_kernel(u_ref, un_ref, us_ref, b_ref, bn_ref, bs_ref, out_ref,
                        *, c, m, r, nl, ml, sweeps):
     """``sweeps`` full red-black sweeps in ONE memory pass (temporal blocking).
@@ -186,20 +206,25 @@ def _rbgs_fused_kernel(u_ref, un_ref, us_ref, b_ref, bn_ref, bs_ref, out_ref,
     bx = jnp.concatenate([bn_ref[:], b_ref[:], bs_ref[:]], axis=0)
     row = i * r - _HALO + jax.lax.broadcasted_iota(jnp.int32, (ext, m), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ext, m), 1)
-    boundary = (row <= 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
-    parity = (row + col) % 2
-    b_over_c = bx * (1.0 / c)
-    # Each color pass reproduces one _rbgs_color_kernel launch bit-exactly:
-    # update this color's interior points, then pin boundary rows to b.
-    for _ in range(sweeps):
-        for color in (0, 1):
-            north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
-            south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
-            west = pltpu.roll(x, 1, axis=1)
-            east = pltpu.roll(x, m - 1, axis=1)
-            gs = (b_over_c + north + south + east + west) * 0.25
-            x = jnp.where(boundary, bx,
-                          jnp.where(parity == color, gs, x))
+    x = _fused_rbgs_passes(x, bx, row, col, c, nl, ml, sweeps, m)
+    out_ref[:] = x[_HALO:_HALO + r, :]
+
+
+def _rbgs_fused_offset_kernel(row0_ref, u_ref, un_ref, us_ref, b_ref, bn_ref,
+                              bs_ref, out_ref, *, c, m, r, nl, ml, sweeps):
+    """Fused RB-GS on a shard-local EXTENDED block: identical to
+    :func:`_rbgs_fused_kernel` except the global row index is offset by the
+    scalar-prefetched ``row0`` (the global row of array row 0) — boundary
+    pinning and red/black parity must be computed in GLOBAL coordinates on
+    a block-row-sharded grid (parallel/sharded_gmg.py)."""
+    i = pl.program_id(0)
+    ext = r + 2 * _HALO
+    x = jnp.concatenate([un_ref[:], u_ref[:], us_ref[:]], axis=0)
+    bx = jnp.concatenate([bn_ref[:], b_ref[:], bs_ref[:]], axis=0)
+    row = row0_ref[0] + i * r - _HALO + jax.lax.broadcasted_iota(
+        jnp.int32, (ext, m), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ext, m), 1)
+    x = _fused_rbgs_passes(x, bx, row, col, c, nl, ml, sweeps, m)
     out_ref[:] = x[_HALO:_HALO + r, :]
 
 
@@ -481,6 +506,76 @@ def _call_fused(kernel, u, b, n, m, r, sweeps, logical_shape=None, dst=None,
             transcendentals=0,
         ),
     )(*inputs)
+
+
+def fused_extended_supported(local_shape, dtype) -> bool:
+    """Can :func:`rbgs_fused_extended` run on this shard-local block?"""
+    if len(local_shape) != 2:
+        return False
+    n, m = local_shape
+    return (n % 8 == 0 and m % _LANE == 0
+            and _pick_block_rows(-(-(n + 16) // 64) * 64, m) is not None
+            and dtype in (jnp.float32, jnp.dtype("float32")))
+
+
+def rbgs_fused_extended(ue: jax.Array, be: jax.Array, row0, logical_shape,
+                        alpha: float, h: float, sweeps: int) -> jax.Array:
+    """``sweeps`` (<= 4) fused RB-GS sweeps on an 8-row-extended local block.
+
+    ``ue``/``be`` are a shard's local rows WITH 8-row neighbor halos above
+    and below (delivered by the caller's ppermute — parallel/sharded_gmg.py);
+    ``row0`` is the traced GLOBAL row index of ``ue[0]`` (shard_start - 8),
+    so the Dirichlet pinning and the red/black parity are computed in global
+    coordinates.  Returns the updated CORE rows ``ue[8:-8]``.
+
+    Correctness is the same temporal-blocking ring argument as
+    :func:`red_black_gauss_seidel`: the kernel replays the halo rows'
+    updates exactly as the neighbor shard computes them, and corruption from
+    beyond the 8-row halo travels one row per color pass, so
+    ``2 * sweeps <= 8`` leaves the core rows equal to the
+    exchange-per-color schedule of ``rbgs_local`` (up to f32 association
+    order).  One neighbor exchange per fused group instead of two per sweep.
+    """
+    if sweeps > _MAX_FUSED_SWEEPS:
+        raise ValueError(f"at most {_MAX_FUSED_SWEEPS} fused sweeps")
+    ne, m = ue.shape
+    c = alpha / (h * h)
+    nl, ml = (int(logical_shape[0]), int(logical_shape[1]))
+    # pad to a 64-row multiple; pad rows sit >= 8 ring-rows below the core
+    ne_pad = -(-ne // 64) * 64
+    if ne_pad != ne:
+        ue = jnp.pad(ue, ((0, ne_pad - ne), (0, 0)))
+        be = jnp.pad(be, ((0, ne_pad - ne), (0, 0)))
+    r = _pick_block_rows(ne_pad, m)
+    center, north, south = _edge_specs(ne_pad, m, r)
+
+    def shift1(spec):
+        # PrefetchScalarGridSpec index maps receive the prefetch ref too
+        return pl.BlockSpec(spec.block_shape,
+                            lambda i, r0, _m=spec.index_map: _m(i))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ne_pad // r,),
+        in_specs=[shift1(center), shift1(north), shift1(south),
+                  shift1(center), shift1(north), shift1(south)],
+        out_specs=shift1(center),
+    )
+    # inside shard_map the output varies over the mesh axes the inputs do
+    # (check_vma requires it to be spelled out on the out_shape)
+    vma = getattr(jax.typeof(ue), "vma", frozenset())
+    out = pl.pallas_call(
+        functools.partial(_rbgs_fused_offset_kernel, c=c, m=m, r=r, nl=nl,
+                          ml=ml, sweeps=sweeps),
+        out_shape=jax.ShapeDtypeStruct((ne_pad, m), ue.dtype, vma=vma),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sweeps * 6 * ne_pad * m,
+            bytes_accessed=3 * 4 * ne_pad * m,
+            transcendentals=0,
+        ),
+    )(jnp.reshape(jnp.asarray(row0, jnp.int32), (1,)), ue, ue, ue, be, be, be)
+    return out[_HALO:ne - _HALO, :]
 
 
 def rbgs_color_sweep(u, b, alpha, h, color: int, logical_shape=None, dst=None):

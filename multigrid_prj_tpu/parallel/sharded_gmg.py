@@ -73,8 +73,9 @@ def global_shard_index(axes) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _halo_slabs(u: jax.Array, axes: Tuple[str, ...]):
-    """(top, bottom) neighbor halo slabs; zeros at the global ends.
+def _halo_slabs(u: jax.Array, axes: Tuple[str, ...], w: int = 1):
+    """(top, bottom) neighbor halo slabs of ``w`` rows; zeros at the global
+    ends.
 
     1D mesh: one ppermute pair on the ICI axis.  2D (dcn, x) mesh: the
     within-group edges ride ICI; each group's boundary slab additionally
@@ -82,18 +83,18 @@ def _halo_slabs(u: jax.Array, axes: Tuple[str, ...]):
     """
     ici = axes[-1]
     pi = lax.axis_size(ici)
-    top = lax.ppermute(u[-1:], ici, [(i, i + 1) for i in range(pi - 1)])
-    bot = lax.ppermute(u[:1], ici, [(i, i - 1) for i in range(1, pi)])
+    top = lax.ppermute(u[-w:], ici, [(i, i + 1) for i in range(pi - 1)])
+    bot = lax.ppermute(u[:w], ici, [(i, i - 1) for i in range(1, pi)])
     if len(axes) == 2:
         dcn = axes[0]
         pd = lax.axis_size(dcn)
         if pd > 1:
             # group d's LAST slab -> group d+1's ici-0 shard (its top halo):
             # bounce to ici 0 within the group, then one DCN hop.
-            t1 = lax.ppermute(u[-1:], ici, [(pi - 1, 0)])
+            t1 = lax.ppermute(u[-w:], ici, [(pi - 1, 0)])
             t2 = lax.ppermute(t1, dcn, [(d, d + 1) for d in range(pd - 1)])
             # group d's FIRST slab -> group d-1's ici-last shard (bottom halo)
-            b1 = lax.ppermute(u[:1], ici, [(0, pi - 1)])
+            b1 = lax.ppermute(u[:w], ici, [(0, pi - 1)])
             b2 = lax.ppermute(b1, dcn, [(d, d - 1) for d in range(1, pd)])
             ii = lax.axis_index(ici)
             top = jnp.where(ii == 0, t2, top)
@@ -177,8 +178,30 @@ def residual_local(u, b, alpha, h, global_shape, axes):
     return b - poisson_apply_local(u, alpha, h, global_shape, axes)
 
 
+def rbgs_local_pallas(u, b, alpha, h, global_shape, axes, sweeps: int = 1):
+    """Fused-Pallas red-black GS on the local shard: ONE 8-row halo exchange
+    per fused group of up to 4 sweeps, then the temporally-blocked kernel
+    (``ops/pallas_stencil.rbgs_fused_extended``) replays the halo rows'
+    updates locally — the multi-chip composition of the single-chip fused
+    smoother (the round-2 gap: distributed execution forfeited the Pallas
+    throughput).  Equal to :func:`rbgs_local` up to f32 association order.
+    """
+    from multigrid_prj_tpu.ops import pallas_stencil as ps
+
+    R = u.shape[0]
+    row0 = global_shard_index(axes) * R - 8
+    bt, bb = _halo_slabs(b, axes, 8)  # b is loop-constant: exchange once
+    full, rem = divmod(sweeps, 4)
+    for s in [4] * full + ([rem] if rem else []):
+        ut, ub = _halo_slabs(u, axes, 8)
+        ue = jnp.concatenate([ut, u, ub], axis=0)
+        be = jnp.concatenate([bt, b, bb], axis=0)
+        u = ps.rbgs_fused_extended(ue, be, row0, global_shape, alpha, h, s)
+    return u
+
+
 def rbgs_local(u, b, alpha, h, global_shape, axes, sweeps: int = 1,
-               overlap: bool = True):
+               overlap: bool = True, pallas: bool = False):
     """Red-black GS, one halo exchange per color pass, interior/edge split
     so the exchange overlaps the interior update (SURVEY §7.4.4).
 
@@ -187,7 +210,18 @@ def rbgs_local(u, b, alpha, h, global_shape, axes, sweeps: int = 1,
     no compute can be issued until the halos arrive) — numerically
     IDENTICAL, used as the A/B baseline by ``benchmarks/overlap_ab.py``
     and ``tests/test_sharded_gmg.py``.
+
+    ``pallas=True`` dispatches supported shards (2D, f32, lanes % 128) to
+    :func:`rbgs_local_pallas`; unsupported shapes keep this XLA path.
     """
+    if pallas:
+        from multigrid_prj_tpu.ops.pallas_stencil import (
+            fused_extended_supported,
+        )
+
+        if u.shape[0] >= 8 and fused_extended_supported(u.shape, u.dtype):
+            return rbgs_local_pallas(u, b, alpha, h, global_shape, axes,
+                                     sweeps)
     c = alpha / (h * h)
     bmask = _boundary_mask_local(u.shape, global_shape, axes)
     coords = _global_coords(u.shape, axes)
@@ -301,9 +335,16 @@ class ShardedGMGSolver:
         tol: float = 1e-6,
         maxit: int = 100,
         min_rows_per_shard: int = 8,
+        use_pallas: bool | str = "auto",
     ):
         if len(shape) not in (2, 3):
             raise ValueError("sharded solver supports 2D and 3D grids")
+        # Pallas fused smoother on the local shards ("auto": on for TPU
+        # backends); per-level shape support is checked at trace time and
+        # unsupported levels fall back to the XLA path individually.
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = bool(use_pallas)
         self.mesh = mesh
         self._axes = row_axes(mesh)
         self.p = int(math.prod(mesh.shape[a] for a in self._axes))
@@ -359,7 +400,8 @@ class ShardedGMGSolver:
         h = lev.h
         a = self.alpha
         axes = self._axes
-        u = rbgs_local(u, b, a, h, gshape, axes, self.nu1)
+        u = rbgs_local(u, b, a, h, gshape, axes, self.nu1,
+                       pallas=self.use_pallas)
         r = residual_local(u, b, a, h, gshape, axes)
         rc = restrict_fw_local(r, gshape, axes)
         nlev = self.levels[level + 1]
@@ -377,7 +419,8 @@ class ShardedGMGSolver:
             i = global_shard_index(axes)
             ec = lax.dynamic_slice_in_dim(e_full, i * rc_rows, rc_rows, axis=0)
         u = u + prolong_local(ec, u.shape[0], gshape[1:], axes)
-        return rbgs_local(u, b, a, h, gshape, axes, self.nu2)
+        return rbgs_local(u, b, a, h, gshape, axes, self.nu2,
+                          pallas=self.use_pallas)
 
     def _solve_local(self, u, b):
         lev0 = self.levels[0]

@@ -84,11 +84,67 @@ def test_build_refuses_wide_band():
     assert PallasELL.build(A, max_t_win=4) is None
 
 
-def test_build_refuses_oversize_x():
-    # m too large for VMEM residency -> None (callers keep the XLA path)
-    A = HostCSR.eye(8)
-    A.shape = (8, 3_000_000)
-    assert PallasELL.build(A) is None
+def banded(n, offs):
+    rows_l, cols_l, vals_l = [], [], []
+    for o in offs:
+        r = np.arange(max(0, -o), min(n, n - o), dtype=np.int64)
+        rows_l.append(r)
+        cols_l.append(r + o)
+        vals_l.append(np.full(r.size, 8.0 if o == 0 else -1.0))
+    return HostCSR.from_coo(np.concatenate(rows_l), np.concatenate(cols_l),
+                            np.concatenate(vals_l), (n, n))
+
+
+def test_windowed_x_mode_matches_oracle():
+    """x too large for VMEM -> windowed-x HBM mode (two Wq-tile blocks per
+    row block), bit-compatible with the VMEM-resident kernel."""
+    n = 8192
+    A = banded(n, [0, -1, 1, -51, 34])
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(n).astype(np.float32)
+    pV = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    assert pV is not None and not pV.windowed
+    # force the windowed path by shrinking the VMEM budget
+    pW = PallasELL.build(A, dtype=jnp.float32, block_rows=1024,
+                         max_x_vmem=4096)
+    assert pW is not None and pW.windowed and pW.wq % 8 == 0
+    got_v = np.asarray(pV.spmv(jnp.asarray(x), interpret=True))
+    got_w = np.asarray(pW.spmv(jnp.asarray(x), interpret=True))
+    want = A.spmv(x.astype(np.float64))
+    np.testing.assert_allclose(got_w, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(got_v, got_w)  # same arithmetic order
+
+
+def test_wide_window_matches_oracle():
+    """Per-lane-tile windows wider than 8 x-tiles (t_win up to 32) run the
+    kernel instead of falling back (2D-FD-at-scale band shapes)."""
+    n = 4096
+    A = banded(n, [0, -1, 1, -1500, 1500])
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    assert pA is not None and 8 < pA.t_win <= 32, pA.t_win
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(pA.spmv(jnp.asarray(x), interpret=True))
+    want = A.spmv(x.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_windowed_plus_wide_window():
+    n = 8192
+    A = banded(n, [0, -1, 1, -900, 1100])
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024,
+                         max_x_vmem=4096)
+    assert pA is not None and pA.windowed and pA.t_win > 8
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(pA.spmv(jnp.asarray(x), interpret=True))
+    want = A.spmv(x.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # SpMM on a windowed matrix takes the per-vector fallback transparently
+    X = rng.standard_normal((n, 3)).astype(np.float32)
+    gotm = np.asarray(pA.spmm(jnp.asarray(X), interpret=True))
+    np.testing.assert_allclose(gotm, A.spmm(X.astype(np.float64)),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_padded_rows_and_slots_are_zero():

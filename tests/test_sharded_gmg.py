@@ -186,3 +186,70 @@ def test_overlap_schedule_bitwise_identical(problem):
         outs[ov] = np.asarray(f(jax.device_put(u, sharding),
                                 jax.device_put(b, sharding)))
     assert np.array_equal(outs[True], outs[False])
+
+
+def test_sharded_pallas_smoother_matches_xla():
+    """The fused Pallas RB-GS on local shards (one 8-row exchange per fused
+    group) must equal the exchange-per-color XLA schedule to f32 roundoff —
+    the round-3 composition of the single-chip kernels with shard_map."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multigrid_prj_tpu.parallel.sharded_gmg import AXIS, rbgs_local
+
+    mesh = make_mesh(8)
+    n = 128  # lanes % 128 == 0 -> Pallas path supported
+    h = LEN / (n - 1)
+    rng = np.random.default_rng(5)
+    u0 = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    sh = NamedSharding(mesh, P(AXIS, None))
+    u0, b = jax.device_put(u0, sh), jax.device_put(b, sh)
+
+    def run(pallas, sweeps):
+        f = jax.jit(jax.shard_map(
+            lambda u, bb: rbgs_local(u, bb, ALPHA, h, (n, n), (AXIS,),
+                                     sweeps=sweeps, pallas=pallas),
+            mesh=mesh, in_specs=(P(AXIS, None), P(AXIS, None)),
+            out_specs=P(AXIS, None),
+        ))
+        with pltpu.force_tpu_interpret_mode():
+            return np.asarray(f(u0, b), np.float64)
+
+    for sweeps in (1, 2, 4, 6):
+        got = run(True, sweeps)
+        want = run(False, sweeps)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() < 1e-5 * scale, sweeps
+
+
+def test_sharded_solver_pallas_end_to_end():
+    """Whole sharded solve with use_pallas=True (interpret mode) agrees with
+    the XLA-path sharded solve."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = make_mesh(8)
+    # this 3-level config converges at ~0.53/cycle (100-sweep coarse solve
+    # is inexact at 32^2) — budget accordingly; f32 floor is ~1e-4 anyway
+    solver_kw = dict(shape=(N, N), mesh=mesh, length=LEN, alpha=ALPHA,
+                     num_levels=3, nu1=2, nu2=2, tol=1e-3, maxit=30)
+    b64 = assemble_rhs(
+        GMGSolver(shape=(N, N), length=LEN, alpha=ALPHA, num_levels=3).levels[0],
+        LEN, test=1, dtype=jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+
+    sp = ShardedGMGSolver(use_pallas=True, **solver_kw)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = sp.solve(b)
+    sx = ShardedGMGSolver(use_pallas=False, **solver_kw)
+    out_x = sx.solve(b)
+    assert out_p.converged and out_x.converged
+    du = np.abs(np.asarray(out_p.u, np.float64)
+                - np.asarray(out_x.u, np.float64)).max()
+    scale = np.abs(np.asarray(out_x.u)).max()
+    assert du / scale < 1e-4, du / scale
+    # compare histories where they sit above the f32 noise floor
+    hp, hx = np.asarray(out_p.history), np.asarray(out_x.history)
+    k = min(len(hp), len(hx))
+    sel = hx[:k] > 1e-3
+    np.testing.assert_allclose(hp[:k][sel], hx[:k][sel], rtol=2e-2)
