@@ -84,7 +84,10 @@ def build_hierarchy(
     buffer rounds ``n + 1`` up to a multiple of ``pad_align`` (e.g. 256 for
     Pallas (8, 128) tiling with headroom), and each coarser padded buffer is
     exactly half, until the slack runs out (``P < n + 1``) after which levels
-    store exact (unpadded) arrays.
+    store exact (unpadded) arrays.  A per-axis tuple is accepted — the
+    natural 3D choice aligns only the lane axis to 128 and the others to 8
+    (e.g. ``(8, 8, 128)``), avoiding the cubic blow-up of a uniform 128/256
+    alignment.
     """
     shape = tuple(int(s) for s in shape)
     if any(s < 2 for s in shape):
@@ -95,7 +98,13 @@ def build_hierarchy(
 
     padded: Tuple[int, ...] | None = None
     if pad_align is not None:
-        padded = tuple(-((-(s + 1)) // pad_align) * pad_align for s in shape)
+        aligns = (pad_align if isinstance(pad_align, (tuple, list))
+                  else (pad_align,) * len(shape))
+        if len(aligns) != len(shape):
+            raise ValueError(f"pad_align {pad_align} does not match "
+                             f"grid rank {len(shape)}")
+        padded = tuple(-((-(s + 1)) // a) * a
+                       for s, a in zip(shape, aligns))
 
     def check(pp, lshape):
         # a padded level needs headroom (P >= n + 1) and halvability

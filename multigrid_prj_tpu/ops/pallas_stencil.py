@@ -271,7 +271,9 @@ def poisson_apply_chain(u: jax.Array, alpha: float, h: float, applies: int,
     if not _is_supported(u.shape, u.dtype):
         x = u
         for _ in range(applies):
-            x = _xla.poisson_apply(x, alpha, h, logical_shape)
+            # 3D inputs chain the single-pass 3D kernel (no temporal fusion
+            # yet); other unsupported shapes chain the XLA apply
+            x = poisson_apply(x, alpha, h, logical_shape)
         return x
     n, m = u.shape
     c = alpha / (h * h)
@@ -449,6 +451,10 @@ def poisson_apply(u: jax.Array, alpha: float, h: float,
 
     ``dst``: optional buffer to write into (ping-pong chains, see ``_call``).
     """
+    if u.ndim == 3:
+        from multigrid_prj_tpu.ops import pallas_stencil_3d as _p3
+
+        return _p3.poisson_apply_3d(u, alpha, h, logical_shape)
     if not _is_supported(u.shape, u.dtype):
         return _xla.poisson_apply(u, alpha, h, logical_shape)
     n, m = u.shape
@@ -464,6 +470,10 @@ def poisson_apply(u: jax.Array, alpha: float, h: float,
 def poisson_residual(u: jax.Array, b: jax.Array, alpha: float, h: float,
                      logical_shape=None) -> jax.Array:
     """Fused ``r = b - A u``."""
+    if u.ndim == 3:
+        from multigrid_prj_tpu.ops import pallas_stencil_3d as _p3
+
+        return _p3.poisson_residual_3d(u, b, alpha, h, logical_shape)
     if not _is_supported(u.shape, u.dtype):
         return _xla.poisson_residual(u, b, alpha, h, logical_shape)
     n, m = u.shape
@@ -600,6 +610,12 @@ def red_black_gauss_seidel(u, b, alpha, h, sweeps: int = 1, omega: float = 1.0,
     ``omega`` is accepted for API parity with the XLA smoother but only
     ``omega == 1`` is implemented in the kernel (SOR falls back to XLA).
     """
+    if u.ndim == 3:
+        from multigrid_prj_tpu.ops import pallas_stencil_3d as _p3
+
+        return _p3.red_black_gauss_seidel_3d(u, b, alpha, h, sweeps=sweeps,
+                                             omega=omega,
+                                             logical_shape=logical_shape)
     if omega != 1.0 or not _is_supported(u.shape, u.dtype):
         from multigrid_prj_tpu.ops import smoothers as _sm
 
@@ -645,6 +661,11 @@ def jacobi(u, b, alpha, h, omega: float = 1.0, sweeps: int = 1,
     """Damped-Jacobi sweeps: temporally-fused kernels (up to 8 sweeps per
     HBM pass) ping-ponging two buffers — the TPU-native form of the
     reference's ``temp`` + ``swap`` double buffer (``solvers.hpp:58-83``)."""
+    if u.ndim == 3:
+        from multigrid_prj_tpu.ops import pallas_stencil_3d as _p3
+
+        return _p3.jacobi_3d(u, b, alpha, h, omega=omega, sweeps=sweeps,
+                             logical_shape=logical_shape)
     if not _is_supported(u.shape, u.dtype):
         from multigrid_prj_tpu.ops import smoothers as _sm
 
