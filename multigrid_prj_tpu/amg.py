@@ -546,10 +546,16 @@ class AMGSolver:
         self._coarse_dense = jnp.asarray(
             self.host_matrices[-1].to_dense(), dtype=dtype
         )
-        self._jit_vcycle = jax.jit(self._vcycle_impl)
+        # Level data is passed as pytree ARGUMENTS, never closed over:
+        # closure capture would bake O(nnz) arrays into the executable as
+        # constants (bloating it, defeating buffer sharing, and shipping
+        # the whole matrix with every remote-compile request on
+        # tunnel-dispatch backends).
+        self._jit_vcycle = jax.jit(self._vcycle_args)
         # tol/maxit are traced (dynamic) so changing them never recompiles
         # the V-cycle chain.
         self._jit_solve = jax.jit(self._solve_impl)
+        self._jit_pcg = jax.jit(self._pcg_impl, static_argnames=("maxit",))
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -573,28 +579,36 @@ class AMGSolver:
                 x = jacobi_sweep(lvl, x, b)
         return x
 
-    def _vcycle_impl(self, x, b, nu1=1, nu2=1, _level=0):
-        lvl = self.levels[_level]
-        if _level == len(self.levels) - 1:
-            return jnp.linalg.solve(self._coarse_dense, b)
+    def _vcycle_impl(self, levels, coarse_dense, x, b, nu1=1, nu2=1,
+                     _level=0):
+        lvl = levels[_level]
+        if _level == len(levels) - 1:
+            return jnp.linalg.solve(coarse_dense, b)
         x = self._smooth(lvl, x, b, nu1)
         r = b - apply_A(lvl, x)
         bc = apply_Pt(lvl, r)
-        xc = self._vcycle_impl(jnp.zeros_like(bc), bc, nu1, nu2, _level + 1)
+        xc = self._vcycle_impl(levels, coarse_dense, jnp.zeros_like(bc), bc,
+                               nu1, nu2, _level + 1)
         x = x + apply_P(lvl, xc)
         return self._smooth(lvl, x, b, nu2)
 
-    def vcycle(self, x, b, nu1: int = 1, nu2: int = 1):
-        return self._jit_vcycle(x, b, nu1, nu2)
+    def _vcycle_args(self, levels, coarse_dense, x, b, nu1=1, nu2=1):
+        return self._vcycle_impl(levels, coarse_dense, x, b, nu1, nu2)
 
-    def _solve_impl(self, x, b, tol, maxit):
+    def _args(self):
+        return tuple(self.levels), self._coarse_dense
+
+    def vcycle(self, x, b, nu1: int = 1, nu2: int = 1):
+        return self._jit_vcycle(*self._args(), x, b, nu1, nu2)
+
+    def _solve_impl(self, levels, coarse_dense, x, b, tol, maxit):
         b2 = jnp.sum(b * b)
 
         def rel_of(rn2):
             return jnp.sqrt(jnp.where(b2 > 0, rn2 / b2, 0.0))
 
         def rn2_of(x):
-            r = b - apply_A(self.levels[0], x)
+            r = b - apply_A(levels[0], x)
             return jnp.sum(r * r)
 
         r0 = rn2_of(x)
@@ -603,7 +617,7 @@ class AMGSolver:
 
         def body(state):
             x, k, _, hist = state
-            x = self._vcycle_impl(x, b)
+            x = self._vcycle_impl(levels, coarse_dense, x, b)
             rn2 = rn2_of(x)
             hist = hist.at[jnp.minimum(k + 1, HIST_CAP)].set(rel_of(rn2))
             return x, k + 1, rn2, hist
@@ -616,6 +630,17 @@ class AMGSolver:
             cond, body, (x, jnp.int32(0), r0, hist)
         )
         return x, k, rel_of(rn2), hist
+
+    def _pcg_impl(self, levels, coarse_dense, b, x0, tol, maxit):
+        from multigrid_prj_tpu.ops.krylov import cg_arrays
+
+        lvl0 = levels[0]
+        return cg_arrays(
+            lambda v: apply_A(lvl0, v), b, x0=x0, tol=tol, maxit=maxit,
+            M=lambda r: self._vcycle_impl(levels, coarse_dense,
+                                          jnp.zeros_like(r), r),
+            history=True,
+        )
 
 
     # -- permutation translation (internal RCM frame <-> caller frame) -------
@@ -645,7 +670,8 @@ class AMGSolver:
         else:
             x0 = jnp.asarray(self._perm_in(x0), dtype=self.dtype)
         x, k, rel, hist = self._jit_solve(
-            x0, b, jnp.asarray(tol, dtype=self.dtype), jnp.asarray(maxit, jnp.int32)
+            *self._args(), x0, b, jnp.asarray(tol, dtype=self.dtype),
+            jnp.asarray(maxit, jnp.int32)
         )
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
@@ -681,7 +707,7 @@ class AMGSolver:
 
         if not hasattr(self, "_jit_solve_ff"):
 
-            def _impl(b_hi, b_lo, tol, maxit):
+            def _impl(levels, coarse_dense, A2, b_hi, b_lo, tol, maxit):
                 b2 = jnp.sum(b_hi.astype(f32) ** 2)
 
                 def rel_of(rn2):
@@ -691,6 +717,7 @@ class AMGSolver:
                     x_hi, x_lo, k, _, hist = state
                     r = ell_residual_ff(A2, b_hi, b_lo, x_hi, x_lo)
                     e = self._vcycle_impl(
+                        levels, coarse_dense,
                         jnp.zeros_like(r, dtype=self.dtype),
                         r.astype(self.dtype),
                     ).astype(f32)
@@ -716,7 +743,8 @@ class AMGSolver:
             self._jit_solve_ff = jax.jit(_impl)
 
         x_hi, x_lo, k, rel, hist = self._jit_solve_ff(
-            b_hi, b_lo, jnp.asarray(tol, f32), jnp.asarray(maxit, jnp.int32)
+            *self._args(), A2, b_hi, b_lo, jnp.asarray(tol, f32),
+            jnp.asarray(maxit, jnp.int32)
         )
         x = np.asarray(x_hi, np.float64) + np.asarray(x_lo, np.float64)
         k = int(k)
@@ -731,22 +759,18 @@ class AMGSolver:
         direct weights) converge in O(10) iterations.  Returns
         ``(x, iterations, rel_residual)``.
         """
-        from multigrid_prj_tpu.ops.krylov import cg
-
         b = jnp.asarray(self._perm_in(b), dtype=self.dtype)
         if x0 is None:
             x0 = jnp.zeros_like(b)
         else:
             x0 = jnp.asarray(self._perm_in(x0), dtype=self.dtype)
-        lvl0 = self.levels[0]
-
-        res = cg(
-            lambda v: apply_A(lvl0, v), b, x0=x0, tol=tol, maxit=maxit,
-            M=lambda r: self._vcycle_impl(jnp.zeros_like(r), r),
-            history=True,
+        x, k, rel, hist = self._jit_pcg(
+            *self._args(), b, x0, jnp.asarray(tol, self.dtype),
+            maxit=int(maxit),
         )
-        return AMGSolveResult(self._perm_out(res.x), res.iterations,
-                              res.rel_residual, np.asarray(res.history))
+        k = int(k)
+        return AMGSolveResult(self._perm_out(x), k, float(rel),
+                              np.asarray(hist)[: k + 1])
 
     # -- reference-compat sawtooth pass --------------------------------------
 

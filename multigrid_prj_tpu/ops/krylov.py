@@ -122,10 +122,35 @@ def cg(
     history: bool = False,
 ) -> KrylovResult:
     """Preconditioned conjugate gradients for SPD ``A`` (framework extension)."""
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
     if maxit is None:
         maxit = b.size
+    x, k, rel, hist = cg_arrays(A, b, x0=x0, tol=tol, maxit=maxit, M=M,
+                                history=history)
+    k = int(k)
+    rel = float(rel)
+    return KrylovResult(x=x, iterations=k, rel_residual=rel,
+                        converged=bool(rel <= tol),
+                        history=hist[: k + 1] if history else None)
+
+
+def cg_arrays(
+    A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-11,
+    maxit: int = 100,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    history: bool = False,
+) -> tuple:
+    """Jit-friendly CG core: returns ``(x, k, rel, hist)`` as arrays.
+
+    Callers that jit a surrounding function (passing operator data as
+    arguments so it is not baked into the executable as constants —
+    ``AMGSolver.solve_pcg``) use this; :func:`cg` wraps it into a
+    :class:`KrylovResult` on the host.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
     if M is None:
         M = lambda r: r
     bnorm = jnp.sqrt(_dot(b, b).real)
@@ -156,7 +181,4 @@ def cg(
     state = (x0, r0, z0, z0, _dot(r0, z0), jnp.int32(0), hist0)
     x, r, *_rest, k, hist = lax.while_loop(cond, body, state)
     rel = jnp.sqrt(_dot(r, r).real) / bnorm
-    k = int(k)
-    return KrylovResult(x=x, iterations=k, rel_residual=float(rel),
-                        converged=bool(rel <= tol),
-                        history=hist[: k + 1] if history else None)
+    return x, k, rel, hist
