@@ -1,0 +1,167 @@
+"""Per-phase wall-time breakdown of the 1025^2 ff32 GMG solve.
+
+BASELINE's second metric is "V-cycle wall-time to 1e-8"; round 2 recorded
+78.9 ms / 18 refinement iterations (~4.4 ms per iteration) with no
+attribution.  This harness differential-times every phase on the real chip
+(the same methodology as the SpMV ablations — chains long against the
+~40 ms tunnel dispatch jitter):
+
+* plain f32 V-cycle (the inner correction solve)
+* one ff32 extended residual evaluation (2 per refinement iteration
+  before the r-carry optimization, 1 after)
+* smoother groups per level size
+* residual + restrict (separate vs call sites)
+
+Usage: python -m benchmarks.vcycle_ablation [n]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fence(r):
+    return float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0])).ravel()[0])
+
+
+def timed_chain(make_chain, x, few: int, many: int, reps: int = 5):
+    """Median differential seconds per unit between chains of few vs many."""
+    f, g = make_chain(few), make_chain(many)
+    for attempt in range(4):
+        try:
+            _fence(f(x)); _fence(g(x))
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(10)
+    ds = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); _fence(f(x))
+        t1 = time.perf_counter(); _fence(g(x))
+        t2 = time.perf_counter()
+        ds.append((t2 - t1) - (t1 - t0))
+    ds.sort()
+    return ds[len(ds) // 2] / (many - few)
+
+
+def main(argv=None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    n = int(argv[0]) if argv else 1025
+
+    from multigrid_prj_tpu.gmg import GMGSolver, v_cycle
+    from multigrid_prj_tpu.models.poisson import assemble_rhs
+    from multigrid_prj_tpu.ops import pallas_stencil as ps
+    from multigrid_prj_tpu.ops.extended import ff_from_div, ff_poisson_residual
+    from multigrid_prj_tpu.ops.transfer import pad_to
+
+    solver = GMGSolver(shape=(n, n), length=10.0, alpha=10.0, num_levels=6,
+                       cycle="v", nu=2, pre_sweeps=2, tol=1e-8, maxit=60,
+                       pad_align=256)
+    b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
+    lev0 = solver.levels[0]
+    bp = pad_to(b, lev0.padded_shape) if lev0.padded_shape else b
+    alpha = solver.alpha
+    out = {}
+
+    # full refined solve (the headline number)
+    sol = solver.solve_refined(b)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sol = solver.solve_refined(b)
+        _fence(sol.u)
+        best = min(best, time.perf_counter() - t0)
+    out["refined_solve_ms"] = best * 1e3
+    out["refined_iters"] = int(sol.iterations)
+
+    # plain f32 V-cycle
+    def vchain(k):
+        @jax.jit
+        def f(u):
+            def body(_, uu):
+                return v_cycle(uu, bp, solver.levels, alpha, solver.smoother,
+                               nu1=solver.pre_sweeps, nu2=solver.nu)
+            return jax.lax.fori_loop(0, k, body, u)
+        return f
+
+    out["vcycle_ms"] = timed_chain(vchain, jnp.zeros_like(bp), 4, 24) * 1e3
+
+    # ff32 extended residual (one evaluation)
+    c = alpha / (lev0.h * lev0.h)
+    d_hi, d_lo = ff_from_div(bp, c)
+
+    def ffchain(k):
+        @jax.jit
+        def f(u):
+            def body(_, uu):
+                r = ff_poisson_residual(uu, jnp.zeros_like(uu), d_hi, d_lo,
+                                        bp, alpha, lev0.h, solver._logical0)
+                return uu + 1e-30 * r  # dependence, negligible arithmetic
+            return jax.lax.fori_loop(0, k, body, u)
+        return f
+
+    out["ff_residual_ms"] = timed_chain(ffchain, jnp.zeros_like(bp), 4, 24) * 1e3
+
+    # per-level smoother groups (nu=2 fused) + residual + restrict at level 0
+    for li, lev in enumerate(solver.levels):
+        shape = lev.physical
+        logical = lev.shape if lev.padded_shape is not None else None
+        u0 = jnp.zeros(shape, jnp.float32)
+        bb = jnp.ones(shape, jnp.float32)
+
+        def smchain(k, lev=lev, bb=bb, logical=logical):
+            @jax.jit
+            def f(u):
+                def body(_, uu):
+                    return solver.smoother(uu, bb, alpha, lev.h, 2,
+                                           logical_shape=logical)
+                return jax.lax.fori_loop(0, k, body, u)
+            return f
+
+        out[f"smooth2_L{li}_{shape[0]}_ms"] = timed_chain(
+            smchain, u0, 8, 48) * 1e3
+
+    # fused pallas residual vs XLA residual at level 0
+    from multigrid_prj_tpu.ops import stencil as xs
+
+    for tag, fn in (("pallas", ps.poisson_residual),
+                    ("xla", xs.poisson_residual)):
+        def rchain(k, fn=fn):
+            @jax.jit
+            def f(u):
+                def body(_, uu):
+                    r = fn(uu, bp, alpha, lev0.h, solver._logical0)
+                    return uu + 1e-30 * r
+                return jax.lax.fori_loop(0, k, body, u)
+            return f
+
+        out[f"residual_L0_{tag}_ms"] = timed_chain(
+            rchain, jnp.zeros_like(bp), 4, 24) * 1e3
+
+    # restrict at level 0
+    from multigrid_prj_tpu.gmg import restrict_level
+
+    def rschain(k):
+        @jax.jit
+        def f(r):
+            def body(_, rr):
+                rc = restrict_level(rr, solver.levels[0], solver.levels[1])
+                return rr + 1e-30 * pad_to(rc, rr.shape)
+            return jax.lax.fori_loop(0, k, body, r)
+        return f
+
+    out["restrict_L0_ms"] = timed_chain(rschain, jnp.ones_like(bp), 4, 24) * 1e3
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,31 @@ def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
         o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
+def _spmv_compact_kernel(tiles2_ref, cols_ref, vals_ref, x_ref, o_ref, *,
+                         k, r, u_max):
+    """Compact-window variant for WIDE bands (t_win > 8): per lane tile the
+    scalar-prefetched ``tiles2`` lists the <= ``u_max`` DISTINCT x-tiles its
+    slots actually touch (an RCM'd 2D FD matrix touches ~3 of its ~17-tile
+    span), and column ids are stored as ``u * 128 + lane`` against that
+    compact list.  Replaces ``t_win`` broadcast+gather+select rounds with
+    ``u_max`` single-tile dynamic slices + the same rounds — both the VPU
+    work and the unrolled program size drop by ``t_win / u_max``."""
+    i = pl.program_id(0)
+    nlt = r // _LANE
+    for j in range(nlt):
+        sl = slice(j * _LANE, (j + 1) * _LANE)
+        idx = cols_ref[:, sl].astype(jnp.int32)
+        hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
+        lo = jax.lax.bitwise_and(idx, jnp.int32(127))
+        g = jnp.zeros((k, _LANE), x_ref.dtype)
+        for u in range(u_max):
+            t_idx = tiles2_ref[(i * nlt + j) * u_max + u]
+            row = x_ref[pl.ds(t_idx, 1), :]
+            src = jnp.broadcast_to(row, (k, _LANE))
+            g = jnp.where(hi == u, jnp.take_along_axis(src, lo, axis=1), g)
+        o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
+
+
 def _spmv_windowed_kernel(base2_ref, q_ref, q2_ref, cols_ref, vals_ref,
                           x1_ref, x2_ref, o_ref, xw_ref, *, k, r, t_win,
                           tw_slice):
@@ -182,6 +207,10 @@ class PallasELL:
     block_rows: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     wq: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # compact-window mode: flattened (n_lt, u_max) distinct-x-tile ids;
+    # base2 is unused ( _spmv_compact_kernel )
+    tiles2: Optional[jax.Array] = None
+    u_max: int = dataclasses.field(default=0, metadata=dict(static=True))
     # run the kernel in interpreter mode (CPU tests of TPU code paths)
     interpret: bool = dataclasses.field(default=False,
                                         metadata=dict(static=True))
@@ -189,6 +218,10 @@ class PallasELL:
     @property
     def windowed(self) -> bool:
         return self.wq > 0
+
+    @property
+    def compact(self) -> bool:
+        return self.u_max > 0
 
     @staticmethod
     def build(
@@ -263,6 +296,52 @@ class PallasELL:
         hi_t = tile_of_lt.max(axis=(1, 2))
         base2 = lo_t.astype(np.int32)
         t_win = int((hi_t - base2).max()) + 1
+        tiles2 = None
+        u_max = 0
+        if t_win > 8 and (s_tiles + 8) * _LANE * 4 <= max_x_vmem:
+            # wide span, but how many DISTINCT x-tiles does each lane tile
+            # actually touch?  RCM'd FD-like matrices span ~t_win tiles yet
+            # touch only ~K of them — the compact-window kernel indexes just
+            # those, cutting VPU work and unrolled program size by
+            # t_win / u_max (the select-loop kernel at t_win ~ 17-20 also
+            # produced remote-compile requests too large for tunnel
+            # backends: ~10k unrolled ops per kernel instance).
+            tl = np.sort(tile_of_lt.reshape(n_lt, -1), axis=1)
+            new = np.ones_like(tl, dtype=bool)
+            new[:, 1:] = tl[:, 1:] != tl[:, :-1]
+            counts = new.sum(axis=1)
+            u_try = int(counts.max())
+            if u_try <= 8:
+                u_max = u_try
+                tiles2 = np.zeros((n_lt, u_max), dtype=np.int32)
+                rr, pos = np.nonzero(new)
+                in_row = np.arange(rr.size) - np.repeat(
+                    np.cumsum(np.r_[0, counts[:-1]]), counts)
+                tiles2[rr, in_row] = tl[rr, pos]
+                # sentinel for the rank computation: unused slots never match
+                sent = np.where(np.arange(u_max)[None, :] < counts[:, None],
+                                tiles2, np.iinfo(np.int32).max)
+                # u = rank of each element's tile in its lane tile's list
+                u_of = (tile_of_lt.reshape(n_lt, -1)[:, :, None]
+                        > sent[:, None, :]).sum(axis=2)
+                rel = ((u_of << 7).reshape(n_pad, k_pad)
+                       | (cols & (_LANE - 1)))
+                assert rel.min() >= 0 and rel.max() < u_max * _LANE
+                return PallasELL(
+                    colsT_rel=jnp.asarray(rel.T.astype(np.int16)),
+                    valsT=jnp.asarray(vals.T, dtype=dtype),
+                    base2=jnp.zeros(n_lt, jnp.int32),
+                    q=None,
+                    q2=None,
+                    shape=(n, m),
+                    t_win=t_win,
+                    m_pad=(s_tiles + 8) * _LANE,
+                    block_rows=block_rows,
+                    nnz=csr.nnz,
+                    tiles2=jnp.asarray(tiles2.reshape(-1)),
+                    u_max=u_max,
+                    interpret=interpret,
+                )
         if t_win > max_t_win:
             return None
         rel = cols - (base2.astype(np.int64).repeat(_LANE)[:, None] << 7)
@@ -353,6 +432,26 @@ class PallasELL:
             bytes_accessed=6 * k_pad * n_pad + 4 * (self.m_pad + n_pad),
             transcendentals=0,
         )
+        if self.compact:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec((k_pad, r), lambda i, t2: (0, i)),
+                    pl.BlockSpec((k_pad, r), lambda i, t2: (0, i)),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((nlt, _LANE), lambda i, t2: (i, 0)),
+            )
+            return pl.pallas_call(
+                functools.partial(_spmv_compact_kernel, k=k_pad, r=r,
+                                  u_max=self.u_max),
+                out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
+                                               self.valsT.dtype),
+                grid_spec=grid_spec,
+                cost_estimate=cost,
+                interpret=interpret,
+            )(self.tiles2, self.colsT_rel, self.valsT, x2d)
         if self.windowed:
             wq = self.wq
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -408,7 +507,7 @@ class PallasELL:
         large for VMEM at all) fall back to per-vector :meth:`spmv` calls.
         """
         nvec = X.shape[1]
-        if self.windowed:
+        if self.windowed or self.compact:
             return jnp.stack(
                 [self.spmv(X[:, v], interpret=interpret)
                  for v in range(nvec)], axis=1)
@@ -424,10 +523,10 @@ class PallasELL:
                interpret: bool | None = None) -> jax.Array:
         """Padded-layout block product: ``x3d`` is ``(nvec, m_pad/128, 128)``
         (see :meth:`pad_X`); returns ``(nvec, n_pad/128, 128)``."""
-        if self.windowed:
-            raise ValueError("spmm2d needs VMEM-resident x; this matrix is "
-                             "in windowed-x mode — use spmm() (per-vector "
-                             "fallback) instead")
+        if self.windowed or self.compact:
+            raise ValueError("spmm2d supports the VMEM-resident narrow-band "
+                             "layout only; use spmm() (per-vector fallback) "
+                             "for windowed/compact matrices")
         interpret = self.interpret if interpret is None else interpret
         nvec = x3d.shape[0]
         k_pad, n_pad = self.colsT_rel.shape

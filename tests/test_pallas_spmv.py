@@ -115,18 +115,54 @@ def test_windowed_x_mode_matches_oracle():
     np.testing.assert_array_equal(got_v, got_w)  # same arithmetic order
 
 
-def test_wide_window_matches_oracle():
-    """Per-lane-tile windows wider than 8 x-tiles (t_win up to 32) run the
-    kernel instead of falling back (2D-FD-at-scale band shapes)."""
+def test_wide_window_compact_matches_oracle():
+    """Wide spans with few DISTINCT touched x-tiles (FD-at-scale band
+    shapes) take the compact-window kernel."""
     n = 4096
     A = banded(n, [0, -1, 1, -1500, 1500])
     pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
-    assert pA is not None and 8 < pA.t_win <= 32, pA.t_win
+    assert pA is not None and pA.compact and pA.t_win > 8, \
+        (pA.t_win, pA.u_max)
+    assert pA.u_max <= 8
     rng = np.random.default_rng(8)
     x = rng.standard_normal(n).astype(np.float32)
     got = np.asarray(pA.spmv(jnp.asarray(x), interpret=True))
     want = A.spmv(x.astype(np.float64))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # SpMM falls back per vector transparently
+    X = rng.standard_normal((n, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(pA.spmm(jnp.asarray(X), interpret=True)),
+        A.spmm(X.astype(np.float64)), rtol=2e-5, atol=2e-5)
+
+
+def test_wide_window_select_matches_oracle():
+    """Wide spans touching MANY distinct tiles (> 8) fall through to the
+    select-loop kernel (t_win up to 32)."""
+    n = 4096
+    # 12 scattered offsets within a 1600-column span -> ~12 distinct tiles
+    A = banded(n, [0, -1, 1] + [137 * (i + 2) for i in range(9)])
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    assert pA is not None and not pA.compact and 8 < pA.t_win <= 32, \
+        (pA.t_win, pA.u_max)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(pA.spmv(jnp.asarray(x), interpret=True))
+    want = A.spmv(x.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fd_poisson_large_band_compact():
+    """An RCM'd 2D FD matrix at scale rides the compact kernel (u_max ~ 3),
+    not the gather fallback — the AMG fine-level case of BASELINE config 3."""
+    A = fd_poisson(64)  # band 64 -> t_win ~ 2... use raw ordering: band n
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    assert pA is not None
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    got = np.asarray(pA.spmv(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, A.spmv(x.astype(np.float64)),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_windowed_plus_wide_window():
