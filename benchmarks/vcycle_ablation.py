@@ -94,21 +94,75 @@ def main(argv=None) -> None:
 
     out["vcycle_ms"] = timed_chain(vchain, jnp.zeros_like(bp), 4, 24) * 1e3
 
-    # ff32 extended residual (one evaluation)
+    # ff32 extended residual (one evaluation): XLA chain vs Pallas kernel
     c = alpha / (lev0.h * lev0.h)
     d_hi, d_lo = ff_from_div(bp, c)
 
-    def ffchain(k):
+    for tag, ffr in (("xla", ff_poisson_residual),
+                     ("pallas", ps.ff_poisson_residual)):
+        def ffchain(k, ffr=ffr):
+            @jax.jit
+            def f(u):
+                def body(_, uu):
+                    r = ffr(uu, jnp.zeros_like(uu), d_hi, d_lo,
+                            bp, alpha, lev0.h, solver._logical0)
+                    return uu + 1e-30 * r  # dependence, negligible arithmetic
+                return jax.lax.fori_loop(0, k, body, u)
+            return f
+
+        out[f"ff_residual_{tag}_ms"] = timed_chain(
+            ffchain, jnp.zeros_like(bp), 4, 24) * 1e3
+
+    # one full refinement iteration (cycle + accumulate + residual + norm),
+    # chained — isolates the while_loop body from dispatch latency
+    from multigrid_prj_tpu.ops.extended import ff_accumulate
+
+    def iterchain(k):
         @jax.jit
         def f(u):
-            def body(_, uu):
-                r = ff_poisson_residual(uu, jnp.zeros_like(uu), d_hi, d_lo,
-                                        bp, alpha, lev0.h, solver._logical0)
-                return uu + 1e-30 * r  # dependence, negligible arithmetic
-            return jax.lax.fori_loop(0, k, body, u)
+            def body(_, state):
+                u_hi, u_lo, r = state
+                e = solver._error_cycle(r, solver._coarse_inv)
+                u_hi, u_lo = ff_accumulate(u_hi, u_lo, e)
+                r = ps.ff_poisson_residual(u_hi, u_lo, d_hi, d_lo, bp,
+                                           alpha, lev0.h, solver._logical0)
+                return u_hi, u_lo, r
+            z = jnp.zeros_like(u)
+            s = jax.lax.fori_loop(0, k, body, (u, z, bp))
+            return s[0]
         return f
 
-    out["ff_residual_ms"] = timed_chain(ffchain, jnp.zeros_like(bp), 4, 24) * 1e3
+    out["refine_iter_ms"] = timed_chain(iterchain, jnp.zeros_like(bp),
+                                        4, 24) * 1e3
+
+    # coarse solves: direct dense-inverse matmul vs 100-sweep smoother
+    if solver._coarse_inv is not None:
+        levc = solver.levels[-1]
+        bc = jnp.ones(levc.physical, jnp.float32)
+        capply = solver._coarse_apply_of(solver._coarse_inv)
+
+        def cdchain(k):
+            @jax.jit
+            def f(x):
+                def body(_, xx):
+                    return capply(bc + 1e-30 * xx)
+                return jax.lax.fori_loop(0, k, body, x)
+            return f
+
+        out["coarse_direct_ms"] = timed_chain(
+            cdchain, jnp.zeros_like(bc), 8, 48) * 1e3
+
+        def cschain(k):
+            @jax.jit
+            def f(x):
+                def body(_, xx):
+                    return solver.smoother(xx, bc, alpha, levc.h, 100,
+                                           logical_shape=levc.shape)
+                return jax.lax.fori_loop(0, k, body, x)
+            return f
+
+        out["coarse_smooth100_ms"] = timed_chain(
+            cschain, jnp.zeros_like(bc), 8, 48) * 1e3
 
     # per-level smoother groups (nu=2 fused) + residual + restrict at level 0
     for li, lev in enumerate(solver.levels):

@@ -170,23 +170,38 @@ def v_cycle(
     coarse_sweeps: int = 100,
     restrict=restrict_full_weighting,
     gamma: int = 1,
+    coarse_apply=None,
+    residual=poisson_residual,
     _level: int = 0,
 ) -> jax.Array:
-    """Standard correction-scheme V-cycle (``gamma = 2`` gives the W-cycle)."""
+    """Standard correction-scheme V-cycle (``gamma = 2`` gives the W-cycle).
+
+    ``coarse_apply``: optional exact bottom solve ``b -> A^{-1} b`` (e.g. a
+    precomputed dense inverse, see ``GMGSolver(coarse="direct")``).  Replaces
+    the ``coarse_sweeps`` smoother iteration — one MXU matmul instead of
+    ~25 tiny kernel launches, the dominant launch-overhead term of the
+    1025^2 V-cycle wall time (benchmarks/vcycle_ablation.py).
+
+    ``residual``: the residual implementation (``ops.stencil`` XLA default;
+    ``GMGSolver`` passes the fused Pallas kernel on TPU backends).
+    """
     lev = levels[_level]
     h = lev.h
     logical = _logical(lev)
     if _level == len(levels) - 1:
+        if coarse_apply is not None:
+            return coarse_apply(b)
         return smoother(u, b, alpha, h, coarse_sweeps, logical_shape=logical)
     u = smoother(u, b, alpha, h, nu1, logical_shape=logical)
-    r = poisson_residual(u, b, alpha, h, logical)
+    r = residual(u, b, alpha, h, logical)
     rc = restrict_level(r, lev, levels[_level + 1], exact_restrict=restrict)
     ec = jnp.zeros_like(rc)
     for _ in range(gamma):
         ec = v_cycle(
             ec, rc, levels, alpha, smoother,
             nu1=nu1, nu2=nu2, coarse_sweeps=coarse_sweeps,
-            restrict=restrict, gamma=gamma, _level=_level + 1,
+            restrict=restrict, gamma=gamma, coarse_apply=coarse_apply,
+            residual=residual, _level=_level + 1,
         )
     u = u + prolong_level(ec, levels[_level + 1], lev)
     u = smoother(u, b, alpha, h, nu2, logical_shape=logical)
@@ -271,6 +286,7 @@ class GMGSolver:
         smoother_dtype=None,
         pad_align: int | None = None,
         use_pallas: bool | None = None,
+        coarse: str = "direct",
     ):
         """``smoother_dtype``: run smoothing sweeps in a lower precision
         (e.g. ``jnp.bfloat16``) while residuals/corrections stay in the
@@ -296,6 +312,7 @@ class GMGSolver:
         self.smoother = make_smoother(smoother, omega=omega)
         if use_pallas is None:
             use_pallas = jax.default_backend() != "cpu"
+        self._use_pallas = bool(use_pallas)
         if use_pallas and smoother in ("gs", "jacobi"):
             from multigrid_prj_tpu.ops import pallas_stencil as _ps
 
@@ -314,9 +331,66 @@ class GMGSolver:
         self.smoother_dtype = smoother_dtype
         self._logical0 = (self.levels[0].shape
                           if self.levels[0].padded_shape is not None else None)
+        self._residual_fn = poisson_residual
+        if self._use_pallas:
+            from multigrid_prj_tpu.ops import pallas_stencil as _ps
+
+            self._residual_fn = _ps.poisson_residual
+        # Direct bottom solve for the correction cycles: precompute the dense
+        # inverse of the coarsest-level operator (Dirichlet identity rows
+        # included) so the bottom of every V/W-cycle is ONE matmul instead of
+        # a ~100-sweep smoother iteration.  The inverse is passed to the
+        # jitted solve as an ARGUMENT (never closed over — closure capture
+        # would bake it into the executable as a constant).
+        self._coarse_inv = None
+        if coarse == "direct" and cycle in ("v", "w"):
+            self._coarse_inv = self._build_coarse_inverse()
         self._jit_solve = jax.jit(self._solve_impl)
 
-    def _cycle(self, u, b):
+    def _build_coarse_inverse(self, max_nodes: int = 4096):
+        """Dense inverse of the coarsest-level stencil operator.
+
+        Rows follow the masked operator exactly (``ops/stencil.py``):
+        interior nodes get ``2*ndim*c`` on the diagonal and ``-c`` per
+        neighbor; logical-boundary and padded dead-zone nodes are identity.
+        Built in f64 on the host, stored in the backend default dtype.
+        Returns ``None`` when the coarse buffer exceeds ``max_nodes`` (the
+        sweep iteration stays in that case).
+        """
+        import numpy as np
+
+        lev = self.levels[-1]
+        shape = lev.physical
+        n_nodes = int(np.prod(shape))
+        if n_nodes > max_nodes:
+            return None
+        logical = lev.shape
+        c = self.alpha / (lev.h * lev.h)
+        idx = np.arange(n_nodes).reshape(shape)
+        coords = np.indices(shape)
+        interior = np.ones(shape, dtype=bool)
+        for d in range(len(shape)):
+            interior &= (coords[d] >= 1) & (coords[d] <= logical[d] - 2)
+        A = np.eye(n_nodes)
+        rows = idx[interior]
+        A[rows, rows] = 2 * len(shape) * c
+        for d in range(len(shape)):
+            for off in (-1, +1):
+                nb = np.roll(idx, -off, axis=d)  # nb[p] = idx at p + off
+                A[rows, nb[interior]] = -c
+        inv = np.linalg.inv(A)
+        return jnp.asarray(inv)
+
+    def _coarse_apply_of(self, cinv):
+        if cinv is None:
+            return None
+
+        def apply_inv(bb):
+            return (cinv.astype(bb.dtype) @ bb.reshape(-1)).reshape(bb.shape)
+
+        return apply_inv
+
+    def _cycle(self, u, b, cinv=None):
         if self.cycle == "sawtooth":
             return sawtooth_cycle(
                 u, b, self.levels, self.alpha, self.smoother,
@@ -325,14 +399,23 @@ class GMGSolver:
             )
         if self.cycle == "v":
             return v_cycle(u, b, self.levels, self.alpha, self.smoother,
-                           nu1=self.pre_sweeps, nu2=self.nu)
+                           nu1=self.pre_sweeps, nu2=self.nu,
+                           coarse_apply=self._coarse_apply_of(cinv),
+                           residual=self._residual_fn)
         if self.cycle == "w":
             return w_cycle(u, b, self.levels, self.alpha, self.smoother,
-                           nu1=self.pre_sweeps, nu2=self.nu)
+                           nu1=self.pre_sweeps, nu2=self.nu,
+                           coarse_apply=self._coarse_apply_of(cinv),
+                           residual=self._residual_fn)
         raise ValueError(f"unknown cycle {self.cycle!r}")
 
-    def step(self, u, b):
+    def step(self, u, b, cinv=None):
         """One outer iteration: pre-smooths + one cycle (``main.cpp:85``).
+
+        ``cinv``: coarse-inverse array for the direct bottom solve.  The
+        jitted solve loops pass it as a traced argument; external callers
+        (preconditioner closures, benchmarks) may omit it and get the
+        stored inverse.
 
         Mixed precision (``smoother_dtype`` set) runs as defect correction:
         the residual is computed in the outer dtype, the whole cycle solves
@@ -342,17 +425,19 @@ class GMGSolver:
         floor convergence at the low dtype's epsilon (measured: bf16 stalls
         at rel. residual ~0.4 that way).
         """
+        if cinv is None:
+            cinv = self._coarse_inv
         h0 = self.levels[0].h
         if self.smoother_dtype is not None:
-            r = poisson_residual(u, b, self.alpha, h0, self._logical0)
-            e = self._error_cycle(r.astype(self.smoother_dtype))
+            r = self._residual_fn(u, b, self.alpha, h0, self._logical0)
+            e = self._error_cycle(r.astype(self.smoother_dtype), cinv)
             return u + e.astype(u.dtype)
         if self.cycle == "sawtooth":
             u = self.smoother(u, b, self.alpha, h0, self.pre_sweeps,
                               logical_shape=self._logical0)
-        return self._cycle(u, b)
+        return self._cycle(u, b, cinv)
 
-    def _error_cycle(self, r):
+    def _error_cycle(self, r, cinv=None):
         """One cycle applied to the error equation ``A e = r`` from ``e = 0``
         (the defect-correction inner solve used by the mixed-precision and
         extended-precision outer loops)."""
@@ -360,9 +445,9 @@ class GMGSolver:
         if self.cycle == "sawtooth":
             e = self.smoother(e, r, self.alpha, self.levels[0].h,
                               self.pre_sweeps, logical_shape=self._logical0)
-        return self._cycle(e, r)
+        return self._cycle(e, r, cinv)
 
-    def _solve_impl(self, u, b):
+    def _solve_impl(self, u, b, cinv=None):
         h0 = self.levels[0].h
         dtype = b.dtype
         hist = jnp.full((self.maxit + 1,), jnp.nan, dtype=dtype)
@@ -376,7 +461,7 @@ class GMGSolver:
 
         def body(state):
             u, k, hist = state
-            u = self.step(u, b)
+            u = self.step(u, b, cinv)
             rn = rel_residual_norm(u, b, self.alpha, h0, self._logical0)
             hist = hist.at[k + 1].set(rn)
             return u, k + 1, hist
@@ -384,16 +469,32 @@ class GMGSolver:
         u, k, hist = lax.while_loop(cond, body, (u, jnp.int32(0), hist))
         return u, k, hist
 
-    def _solve_impl_ff(self, u_hi, u_lo, b, d_hi, d_lo):
+    def _solve_impl_ff(self, b_logical, cinv=None):
         """Iterative refinement: f32 cycles against a float-float residual
         (ops/extended.py) — reaches ~1e-8 relative residual on grids where
-        plain f32 floors at eps_f32 * kappa(A)."""
-        from multigrid_prj_tpu.ops.extended import (
-            ff_accumulate,
-            ff_poisson_residual,
-        )
+        plain f32 floors at eps_f32 * kappa(A).
 
-        h0 = self.levels[0].h
+        The WHOLE refined solve (padding, ``b/c`` pair setup, the refinement
+        loop, pair combination, final crop) is one traced computation —
+        ``solve_refined`` jits it, so a solve is ONE device dispatch.  The
+        residual is carried across the loop: each iteration evaluates the
+        extended residual once (for the next correction AND the history
+        entry), not twice.
+        """
+        from multigrid_prj_tpu.ops.extended import ff_accumulate, ff_from_div
+
+        if self._use_pallas:
+            from multigrid_prj_tpu.ops.pallas_stencil import ff_poisson_residual
+        else:
+            from multigrid_prj_tpu.ops.extended import ff_poisson_residual
+
+        lev0 = self.levels[0]
+        b = (pad_to(b_logical, lev0.padded_shape)
+             if lev0.padded_shape is not None
+             and tuple(b_logical.shape) == lev0.shape else b_logical)
+        c = self.alpha / (lev0.h * lev0.h)
+        d_hi, d_lo = ff_from_div(b, c)
+        h0 = lev0.h
         b2 = norm2(b)
 
         def residual(u_hi, u_lo):
@@ -403,32 +504,38 @@ class GMGSolver:
         def rel(r):
             return jnp.sqrt(norm2(r) / b2)
 
+        u_hi = jnp.zeros_like(b)
+        u_lo = jnp.zeros_like(b)
+        r = residual(u_hi, u_lo)
         hist = jnp.full((self.maxit + 1,), jnp.nan, dtype=b.dtype)
-        hist = hist.at[0].set(rel(residual(u_hi, u_lo)))
+        hist = hist.at[0].set(rel(r))
 
         def cond(state):
-            *_, k, hist = state
+            _, _, _, k, hist = state
             return (k < self.maxit) & (hist[k] > self.tol)
 
         def body(state):
-            u_hi, u_lo, k, hist = state
-            r = residual(u_hi, u_lo)
-            e = self._error_cycle(r)
+            u_hi, u_lo, r, k, hist = state
+            e = self._error_cycle(r, cinv)
             u_hi, u_lo = ff_accumulate(u_hi, u_lo, e)
-            hist = hist.at[k + 1].set(rel(residual(u_hi, u_lo)))
-            return u_hi, u_lo, k + 1, hist
+            r = residual(u_hi, u_lo)
+            hist = hist.at[k + 1].set(rel(r))
+            return u_hi, u_lo, r, k + 1, hist
 
-        u_hi, u_lo, k, hist = lax.while_loop(
-            cond, body, (u_hi, u_lo, jnp.int32(0), hist)
+        u_hi, u_lo, _, k, hist = lax.while_loop(
+            cond, body, (u_hi, u_lo, r, jnp.int32(0), hist)
         )
-        return u_hi, u_lo, k, hist
+        u = u_hi + u_lo
+        if lev0.padded_shape is not None:
+            u = crop_to(u, lev0.shape)
+        return u, k, hist
 
     def solve_refined(self, b: jax.Array) -> SolveResult:
         """Solve with float-float outer residuals (TPU-native f64 substitute).
 
         Use on f32 backends when the plain-f32 floor ``~6e-8 * (N/pi)^2``
-        sits above the requested tolerance.  Costs ~2 extended residual
-        evaluations per cycle on top of the f32 cycle itself.
+        sits above the requested tolerance.  Costs ~1 extended residual
+        evaluation per cycle on top of the f32 cycle itself.
 
         Convergence model (measured): the outer rate is
         ``max(cycle_rate, C * eps_f32 * kappa(A))`` because the inner f32
@@ -438,21 +545,9 @@ class GMGSolver:
         per cycle but convergence to 1e-7 remains (~70 cycles, ~5 s on v5e)
         — territory plain f32 cannot reach at all (floor 0.38 there).
         """
-        from multigrid_prj_tpu.ops.extended import ff_from_div
-
-        lev0 = self.levels[0]
-        if lev0.padded_shape is not None and tuple(b.shape) == lev0.shape:
-            b = pad_to(b, lev0.padded_shape)
-        c = self.alpha / (lev0.h * lev0.h)
         if not hasattr(self, "_jit_solve_ff"):
             self._jit_solve_ff = jax.jit(self._solve_impl_ff)
-        d_hi, d_lo = ff_from_div(b, c)
-        u_hi, u_lo, k, hist = self._jit_solve_ff(
-            jnp.zeros_like(b), jnp.zeros_like(b), b, d_hi, d_lo
-        )
-        u = u_hi + u_lo
-        if lev0.padded_shape is not None:
-            u = crop_to(u, lev0.shape)
+        u, k, hist = self._jit_solve_ff(b, self._coarse_inv)
         k = int(k)
         hist_np = hist[: k + 1]
         return SolveResult(u=u, history=hist_np, iterations=k,
@@ -484,7 +579,7 @@ class GMGSolver:
             )(b)
         if u0 is None:
             u0 = jnp.zeros_like(b)
-        u, k, hist = self._jit_solve(u0, b)
+        u, k, hist = self._jit_solve(u0, b, self._coarse_inv)
         if lev0.padded_shape is not None:
             from multigrid_prj_tpu.ops.transfer import crop_to
 

