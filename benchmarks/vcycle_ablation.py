@@ -31,7 +31,7 @@ def _fence(r):
     return float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0])).ravel()[0])
 
 
-def timed_chain(make_chain, x, few: int, many: int, reps: int = 5):
+def timed_chain(make_chain, x, few: int, many: int, reps: int = 7):
     """Median differential seconds per unit between chains of few vs many."""
     f, g = make_chain(few), make_chain(many)
     for attempt in range(4):
@@ -92,7 +92,7 @@ def main(argv=None) -> None:
             return jax.lax.fori_loop(0, k, body, u)
         return f
 
-    out["vcycle_ms"] = timed_chain(vchain, jnp.zeros_like(bp), 4, 24) * 1e3
+    out["vcycle_ms"] = timed_chain(vchain, jnp.zeros_like(bp), 10, 110) * 1e3
 
     # ff32 extended residual (one evaluation): XLA chain vs Pallas kernel
     c = alpha / (lev0.h * lev0.h)
@@ -111,7 +111,7 @@ def main(argv=None) -> None:
             return f
 
         out[f"ff_residual_{tag}_ms"] = timed_chain(
-            ffchain, jnp.zeros_like(bp), 4, 24) * 1e3
+            ffchain, jnp.zeros_like(bp), 10, 110) * 1e3
 
     # one full refinement iteration (cycle + accumulate + residual + norm),
     # chained — isolates the while_loop body from dispatch latency
@@ -133,7 +133,7 @@ def main(argv=None) -> None:
         return f
 
     out["refine_iter_ms"] = timed_chain(iterchain, jnp.zeros_like(bp),
-                                        4, 24) * 1e3
+                                        5, 55) * 1e3
 
     # coarse solves: direct dense-inverse matmul vs 100-sweep smoother
     if solver._coarse_inv is not None:
@@ -150,7 +150,7 @@ def main(argv=None) -> None:
             return f
 
         out["coarse_direct_ms"] = timed_chain(
-            cdchain, jnp.zeros_like(bc), 8, 48) * 1e3
+            cdchain, jnp.zeros_like(bc), 20, 420) * 1e3
 
         def cschain(k):
             @jax.jit
@@ -162,7 +162,7 @@ def main(argv=None) -> None:
             return f
 
         out["coarse_smooth100_ms"] = timed_chain(
-            cschain, jnp.zeros_like(bc), 8, 48) * 1e3
+            cschain, jnp.zeros_like(bc), 20, 420) * 1e3
 
     # per-level smoother groups (nu=2 fused) + residual + restrict at level 0
     for li, lev in enumerate(solver.levels):
@@ -181,7 +181,7 @@ def main(argv=None) -> None:
             return f
 
         out[f"smooth2_L{li}_{shape[0]}_ms"] = timed_chain(
-            smchain, u0, 8, 48) * 1e3
+            smchain, u0, 20, 220) * 1e3
 
     # fused pallas residual vs XLA residual at level 0
     from multigrid_prj_tpu.ops import stencil as xs
@@ -198,7 +198,7 @@ def main(argv=None) -> None:
             return f
 
         out[f"residual_L0_{tag}_ms"] = timed_chain(
-            rchain, jnp.zeros_like(bp), 4, 24) * 1e3
+            rchain, jnp.zeros_like(bp), 10, 110) * 1e3
 
     # restrict at level 0
     from multigrid_prj_tpu.gmg import restrict_level
@@ -212,7 +212,7 @@ def main(argv=None) -> None:
             return jax.lax.fori_loop(0, k, body, r)
         return f
 
-    out["restrict_L0_ms"] = timed_chain(rschain, jnp.ones_like(bp), 4, 24) * 1e3
+    out["restrict_L0_ms"] = timed_chain(rschain, jnp.ones_like(bp), 10, 110) * 1e3
 
     print(json.dumps(out, indent=2))
 

@@ -172,6 +172,7 @@ def v_cycle(
     gamma: int = 1,
     coarse_apply=None,
     residual=poisson_residual,
+    downleg=None,
     _level: int = 0,
 ) -> jax.Array:
     """Standard correction-scheme V-cycle (``gamma = 2`` gives the W-cycle).
@@ -184,6 +185,11 @@ def v_cycle(
 
     ``residual``: the residual implementation (``ops.stencil`` XLA default;
     ``GMGSolver`` passes the fused Pallas kernel on TPU backends).
+
+    ``downleg``: optional fused pre-smooth+residual+restrict,
+    ``(u, b, lev, nxt, nu1) -> (u_smoothed, r_coarse)`` — the Pallas
+    down-leg kernel (``ops.pallas_stencil.rbgs_residual_restrict``) does
+    the whole leg in one HBM pass on padded levels.
     """
     lev = levels[_level]
     h = lev.h
@@ -192,16 +198,20 @@ def v_cycle(
         if coarse_apply is not None:
             return coarse_apply(b)
         return smoother(u, b, alpha, h, coarse_sweeps, logical_shape=logical)
-    u = smoother(u, b, alpha, h, nu1, logical_shape=logical)
-    r = residual(u, b, alpha, h, logical)
-    rc = restrict_level(r, lev, levels[_level + 1], exact_restrict=restrict)
+    if downleg is not None and lev.padded_shape is not None:
+        u, rc = downleg(u, b, lev, levels[_level + 1], nu1)
+    else:
+        u = smoother(u, b, alpha, h, nu1, logical_shape=logical)
+        r = residual(u, b, alpha, h, logical)
+        rc = restrict_level(r, lev, levels[_level + 1],
+                            exact_restrict=restrict)
     ec = jnp.zeros_like(rc)
     for _ in range(gamma):
         ec = v_cycle(
             ec, rc, levels, alpha, smoother,
             nu1=nu1, nu2=nu2, coarse_sweeps=coarse_sweeps,
             restrict=restrict, gamma=gamma, coarse_apply=coarse_apply,
-            residual=residual, _level=_level + 1,
+            residual=residual, downleg=downleg, _level=_level + 1,
         )
     u = u + prolong_level(ec, levels[_level + 1], lev)
     u = smoother(u, b, alpha, h, nu2, logical_shape=logical)
@@ -287,6 +297,7 @@ class GMGSolver:
         pad_align: int | None = None,
         use_pallas: bool | None = None,
         coarse: str = "direct",
+        fuse_downleg: bool = False,
     ):
         """``smoother_dtype``: run smoothing sweeps in a lower precision
         (e.g. ``jnp.bfloat16``) while residuals/corrections stay in the
@@ -332,10 +343,26 @@ class GMGSolver:
         self._logical0 = (self.levels[0].shape
                           if self.levels[0].padded_shape is not None else None)
         self._residual_fn = poisson_residual
+        self._downleg_fn = None
         if self._use_pallas:
             from multigrid_prj_tpu.ops import pallas_stencil as _ps
 
             self._residual_fn = _ps.poisson_residual
+            # fuse_downleg: run smooth+residual+restrict as ONE kernel pass
+            # (ops.pallas_stencil.rbgs_residual_restrict).  Off by default:
+            # the separate Pallas smoother + residual + XLA restrict already
+            # measure at the streaming roofline on v5e (~0.09 ms/leg on
+            # 1280^2), so the fusion's ~30% traffic saving is within noise
+            # while its coarse-sample decimation is lowering-sensitive.
+            if fuse_downleg and smoother == "gs" and omega == 1.0:
+                def _downleg(u, b, lev, nxt, nu1):
+                    u2, rc = _ps.rbgs_residual_restrict(
+                        u, b, self.alpha, lev.h, nu1, lev.shape)
+                    if nxt.padded_shape is None:
+                        rc = crop_to(rc, nxt.shape)
+                    return u2, rc
+
+                self._downleg_fn = _downleg
         # Direct bottom solve for the correction cycles: precompute the dense
         # inverse of the coarsest-level operator (Dirichlet identity rows
         # included) so the bottom of every V/W-cycle is ONE matmul instead of
@@ -401,12 +428,14 @@ class GMGSolver:
             return v_cycle(u, b, self.levels, self.alpha, self.smoother,
                            nu1=self.pre_sweeps, nu2=self.nu,
                            coarse_apply=self._coarse_apply_of(cinv),
-                           residual=self._residual_fn)
+                           residual=self._residual_fn,
+                           downleg=self._downleg_fn)
         if self.cycle == "w":
             return w_cycle(u, b, self.levels, self.alpha, self.smoother,
                            nu1=self.pre_sweeps, nu2=self.nu,
                            coarse_apply=self._coarse_apply_of(cinv),
-                           residual=self._residual_fn)
+                           residual=self._residual_fn,
+                           downleg=self._downleg_fn)
         raise ValueError(f"unknown cycle {self.cycle!r}")
 
     def step(self, u, b, cinv=None):

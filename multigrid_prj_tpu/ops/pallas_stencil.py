@@ -228,6 +228,111 @@ def _rbgs_fused_offset_kernel(row0_ref, u_ref, un_ref, us_ref, b_ref, bn_ref,
     out_ref[:] = x[_HALO:_HALO + r, :]
 
 
+_MAX_DOWNLEG_SWEEPS = 3  # ring: 2 rows/sweep + 1 (residual) + 1 (filter) <= 8
+
+
+def _rbgs_resfilter_kernel(u_ref, un_ref, us_ref, b_ref, bn_ref, bs_ref,
+                           u_out_ref, f_out_ref, *, c, m, r, nl, ml, sweeps):
+    """V-cycle DOWN-LEG in one memory pass: ``sweeps`` fused RB-GS sweeps,
+    the residual of the result, and the tensor-product full-weighting FILTER
+    ([1/4,1/2,1/4] per axis) — everything the cycle does at a level before
+    the coarse-grid sample.  The caller decimates the filtered output
+    (every other row/column) and masks the coarse edge/dead entries, which
+    are exactly 0 because the smoother pins boundary rows to b inside this
+    very kernel (r = b - u = 0 there).
+
+    Ring accounting on the 8-row halos: each color pass corrupts 2 rows,
+    the residual 1, the filter 1 -> ``2*sweeps + 2 <= 8``; core rows are
+    bit-identical to the separate smoother/residual/restrict launches.
+    Replaces 3 kernel launches + a full HBM round-trip of the residual per
+    level per cycle.
+    """
+    i = pl.program_id(0)
+    ext = r + 2 * _HALO
+    x = jnp.concatenate([un_ref[:], u_ref[:], us_ref[:]], axis=0)
+    bx = jnp.concatenate([bn_ref[:], b_ref[:], bs_ref[:]], axis=0)
+    row = i * r - _HALO + jax.lax.broadcasted_iota(jnp.int32, (ext, m), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ext, m), 1)
+    x = _fused_rbgs_passes(x, bx, row, col, c, nl, ml, sweeps, m)
+    u_out_ref[:] = x[_HALO:_HALO + r, :]
+    # residual of the smoothed iterate (identical expression to
+    # _residual_kernel, extended-block row indexing)
+    boundary = (row <= 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
+    north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+    south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+    west = pltpu.roll(x, 1, axis=1)
+    east = pltpu.roll(x, m - 1, axis=1)
+    stencil = c * (4.0 * x - north - south - east - west)
+    res = bx - jnp.where(boundary, x, stencil)
+    # full-weighting filter, rows then columns (restrict_fw_padded order);
+    # out-of-array neighbors decimate only into masked coarse entries
+    rn = jnp.concatenate([res[:1, :], res[:-1, :]], axis=0)
+    rs = jnp.concatenate([res[1:, :], res[-1:, :]], axis=0)
+    f1 = 0.25 * rn + 0.5 * res + 0.25 * rs
+    fw_ = pltpu.roll(f1, 1, axis=1)
+    fe = pltpu.roll(f1, m - 1, axis=1)
+    f2 = 0.25 * fw_ + 0.5 * f1 + 0.25 * fe
+    f_out_ref[:] = f2[_HALO:_HALO + r, :]
+
+
+def fw_decimate_padded(F, logical_shape):
+    """Sample the filtered fine array at even indices and zero the coarse
+    edge/dead entries (valid when the fine residual is 0 on the logical
+    boundary — true post-smoothing; see ``_rbgs_resfilter_kernel``).
+
+    Decimates one axis at a time (the lowering ``transfer.restrict_fw_padded``
+    uses); a single fused ``F[::2, ::2]`` measured ~4 ms on 1280^2 v5e where
+    the per-axis form is ~0.1 ms."""
+    nl, ml = int(logical_shape[0]), int(logical_shape[1])
+    nc_r, nc_c = (nl + 1) // 2, (ml + 1) // 2
+    s = F[::2][:, ::2]
+    kr = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    kc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    dead = (kr == 0) | (kr >= nc_r - 1) | (kc == 0) | (kc >= nc_c - 1)
+    return jnp.where(dead, 0.0, s)
+
+
+def rbgs_residual_restrict(u, b, alpha, h, sweeps, logical_shape):
+    """Fused down-leg: ``sweeps`` RB-GS sweeps + residual + full-weighting
+    restriction of the PADDED layout, in one kernel pass plus a cheap
+    decimation.  Returns ``(u_smoothed, r_coarse)`` with
+    ``r_coarse.shape = (n//2, m//2)``.
+
+    Equals (f32-exactly) the composition ``red_black_gauss_seidel`` ->
+    ``poisson_residual`` -> ``transfer.restrict_fw_padded``; requires
+    ``sweeps <= 3`` and an aligned 2D f32 layout with a logical shape
+    (falls back to the composition otherwise).
+    """
+    if logical_shape is None:
+        raise ValueError("rbgs_residual_restrict needs a logical_shape")
+    if sweeps > _MAX_DOWNLEG_SWEEPS or not _is_supported(u.shape, u.dtype):
+        from multigrid_prj_tpu.ops.transfer import restrict_fw_padded
+
+        u2 = red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps,
+                                    logical_shape=logical_shape)
+        r = poisson_residual(u2, b, alpha, h, logical_shape)
+        return u2, restrict_fw_padded(r, logical_shape)
+    n, m = u.shape
+    c = alpha / (h * h)
+    r_blk = _pick_block_rows(n, m, 5)
+    nl, ml = int(logical_shape[0]), int(logical_shape[1])
+    center, north, south = _edge_specs(n, m, r_blk)
+    u2, F = pl.pallas_call(
+        functools.partial(_rbgs_resfilter_kernel, c=c, m=m, r=r_blk, nl=nl,
+                          ml=ml, sweeps=sweeps),
+        out_shape=(jax.ShapeDtypeStruct((n, m), u.dtype),
+                   jax.ShapeDtypeStruct((n, m), u.dtype)),
+        grid=(n // r_blk,),
+        in_specs=[center, north, south, center, north, south],
+        out_specs=(center, center),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * sweeps + 2) * 6 * n * m,
+            bytes_accessed=4 * 4 * n * m, transcendentals=0,
+        ),
+    )(u, u, u, b, b, b)
+    return u2, fw_decimate_padded(F, logical_shape)
+
+
 def _ff_residual_kernel(uh_ref, uhn_ref, uhs_ref, ul_ref, uln_ref, uls_ref,
                         dh_ref, dl_ref, b_ref, out_ref, *, c, m, r, nl, ml):
     """Extended-precision residual in ONE memory pass.

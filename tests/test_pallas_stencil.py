@@ -129,3 +129,26 @@ def test_ff_residual_matches_extended(ub, logical):
         got = np.asarray(
             ps.ff_poisson_residual(u, u_lo, d_hi, d_lo, b, ALPHA, H, logical))
     np.testing.assert_allclose(got, want, rtol=5e-7, atol=0.0)
+
+
+@pytest.mark.parametrize("sweeps", [1, 2, 3, 5])
+def test_downleg_matches_composition(sweeps):
+    """Fused smooth+residual+restrict must equal the separate ops exactly
+    (f32): the kernel replays the same update chain in VMEM and the
+    coarse edge/dead zeros equal the injected boundary residuals (= 0
+    post-smoothing).  sweeps=5 exercises the fallback composition path."""
+    from multigrid_prj_tpu.ops.transfer import restrict_fw_padded
+
+    np_rng = np.random.default_rng(3)
+    P, logical = 256, (201, 129)
+    u = jnp.asarray(np_rng.standard_normal((P, P)), jnp.float32)
+    b = jnp.asarray(np_rng.standard_normal((P, P)), jnp.float32)
+    alpha, h = 10.0, 10.0 / (logical[0] - 1)
+    with pltpu.force_tpu_interpret_mode():
+        u2, rc = ps.rbgs_residual_restrict(u, b, alpha, h, sweeps, logical)
+        u_want = ps.red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps,
+                                           logical_shape=logical)
+        r_want = ps.poisson_residual(u_want, b, alpha, h, logical)
+    rc_want = restrict_fw_padded(r_want, logical)
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(u_want))
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(rc_want))
