@@ -238,6 +238,155 @@ def measure_ell_spmm(n: int = 1 << 20, nvec: int = 4, delta: int = 100):
     return pA.nnz_dense * nvec * delta / dt
 
 
+def measure_stream_ceiling(n: int = 8192):
+    """Measured achievable HBM stream rate (read+write GB/s) via a chained
+    saxpy — the empirical speed-of-light the stencil kernels are judged
+    against (the nominal 819 GB/s is not reachable by any streaming op on
+    this part; round-1 measured ~650 GB/s)."""
+    x = jnp.ones((n, n), jnp.float32)
+
+    def chain(iters):
+        @jax.jit
+        def f(x):
+            return jax.lax.fori_loop(0, iters, lambda _, v: 1.0000001 * v, x)
+
+        return f
+
+    dt = _timed_pair(chain(10), chain(110), x, 100)
+    return 2 * 4 * n * n * 100 / dt / 1e9
+
+
+def measure_spmv_16m(n: int = 16 * (1 << 20), delta: int = 30):
+    """The lifted-size-cap check: a 16M-row banded SpMV must stay on the
+    Pallas kernel (windowed/compact x modes) instead of the gather path."""
+    from benchmarks.spmv_bench import banded_csr
+    from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
+
+    A = banded_csr(n)
+    pA = PallasELL.build(A, dtype=jnp.float32,
+                         interpret=jax.default_backend() == "cpu")
+    if pA is None:
+        raise ValueError("PallasELL.build returned None at 16M rows")
+    import numpy as np
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+
+    def chain(iters):
+        @jax.jit
+        def f(x):
+            x2d = pA.pad_x(x)
+
+            def body(_, x2d):
+                y2d = pA.spmv2d(x2d)
+                return jax.lax.dynamic_update_slice(x2d, y2d, (0, 0))
+
+            return jax.lax.fori_loop(0, iters, body, x2d)
+
+        return f
+
+    dt = _timed_pair(chain(delta // 3), chain(delta // 3 + delta), x, delta)
+    return pA.nnz_dense * delta / dt
+
+
+def measure_stencil3d(n: int = 256, iters: int = 20):
+    """3D 7-point Pallas apply chain nnz/s (BASELINE config 4 kernel)."""
+    from multigrid_prj_tpu.ops.pallas_stencil_3d import poisson_apply_3d
+
+    shape = (n, n, n)
+    alpha, h = 1.0, 1.0 / (n - 1)
+
+    def chain(k):
+        @jax.jit
+        def f(u):
+            def body(_, uu):
+                return poisson_apply_3d(uu, alpha, h)
+
+            return jax.lax.fori_loop(0, k, body, u)
+
+        return f
+
+    @jax.jit
+    def mk():
+        i = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+        return 1e-3 * jnp.sin(0.01 * i) * jnp.cos(0.013 * j)
+
+    u = mk()
+    interior = (n - 2) ** 3
+    nnz = n ** 3 + 6 * interior
+    dt = _timed_pair(chain(8), chain(8 + iters), u, iters)
+    return nnz * iters / dt
+
+
+def measure_sharded_on_one(n: int = 2048):
+    """Sharded GMG step on a 1-device mesh vs the unsharded padded step —
+    the 'multi-chip execution keeps single-chip throughput' check (the
+    sharded smoother runs the same fused Pallas kernels on its local
+    shard).  Returns (sharded_ms, unsharded_ms)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from multigrid_prj_tpu.gmg import GMGSolver
+    from multigrid_prj_tpu.models.poisson import assemble_rhs
+    from multigrid_prj_tpu.parallel.sharded_gmg import ShardedGMGSolver
+
+    shape = (n, n)  # even grid: shardable AND Pallas-supported unpadded
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+    sh = ShardedGMGSolver(shape=shape, mesh=mesh, num_levels=5, nu1=2, nu2=2,
+                          maxit=2, tol=0.0)
+    b = assemble_rhs(sh.levels[0], 10.0, test=1, dtype=jnp.float32)
+    bs = jax.device_put(b, sh.sharding)
+    u0 = jax.device_put(jnp.zeros_like(b), sh.sharding)
+
+    def sh_chain(k):
+        @jax.jit
+        def f(u):
+            def body(_, uu):
+                return sh._jit_step(uu, bs)
+
+            return jax.lax.fori_loop(0, k, body, u)
+
+        return f
+
+    un = GMGSolver(shape=shape, num_levels=5, cycle="v", nu=2, pre_sweeps=2,
+                   tol=0.0, maxit=2)
+    bu = assemble_rhs(un.levels[0], 10.0, test=1, dtype=jnp.float32)
+
+    def un_chain(k):
+        @jax.jit
+        def f(u):
+            def body(_, uu):
+                return un.step(uu, bu)
+
+            return jax.lax.fori_loop(0, k, body, u)
+
+        return f
+
+    d_sh = _timed_pair(sh_chain(5), sh_chain(25), u0, 20)
+    d_un = _timed_pair(un_chain(5), un_chain(25), jnp.zeros_like(bu), 20)
+    return d_sh / 20 * 1e3, d_un / 20 * 1e3
+
+
+def measure_amg_fd(n_grid: int = 1024, tol: float = 1e-8):
+    """End-to-end AMG on an FD system: returns a dict of solve wall-times
+    (f32 V-cycle, ff32 refined), iteration counts, and setup time."""
+    from benchmarks.amg_bench import bench_fd
+
+    rec = bench_fd(n_grid, tol=tol)
+    return {
+        "amg_fd_rows": rec["rows"],
+        "amg_fd_nnz": rec["nnz"],
+        "amg_fd_setup_s": rec["setup_s"],
+        "amg_fd_solve_f32_ms": rec["solve_f32_ms"],
+        "amg_fd_solve_f32_iters": rec["solve_f32_iters"],
+        "amg_fd_solve_ff32_ms": rec["solve_ff32_ms"],
+        "amg_fd_solve_ff32_iters": rec["solve_ff32_iters"],
+        "amg_fd_pcg_ms": rec["pcg_ms"],
+        "amg_fd_smoother": rec["smoother"],
+        "amg_fd_pallas_levels": rec["pallas_spmv_levels"],
+    }
+
+
 def measure_vcycle_ff32(n: int = 1025, tol: float = 1e-8):
     """Wall-clock of a full ff32-refined GMG solve to ``tol`` (BASELINE's
     second metric: V-cycle wall-time to 1e-8 on 1025^2, f32 + ff32)."""
@@ -288,6 +437,34 @@ def main() -> None:
         extra["vcycle_1025_ff32_rel_residual"] = rel
     except Exception as e:
         extra["vcycle_error"] = str(e)[:200]
+    try:
+        gbs = _retry(measure_stream_ceiling)
+        extra["measured_stream_gbs"] = gbs
+        # the honest per-apply bar: streamed bytes at the MEASURED ceiling
+        # (the nominal-bandwidth bar is not achievable by any streaming op)
+        extra["single_apply_vs_measured_sol"] = (
+            single / (gbs * 1e9 / bytes_per_point * (nnz / (n * n))))
+    except Exception as e:
+        extra["stream_ceiling_error"] = str(e)[:200]
+    try:
+        extra["ell_spmv_16m_rows_nnz_per_s"] = _retry(measure_spmv_16m)
+    except Exception as e:
+        extra["spmv_16m_error"] = str(e)[:200]
+    try:
+        extra["stencil3d_256_apply_nnz_per_s"] = _retry(measure_stencil3d)
+    except Exception as e:
+        extra["stencil3d_error"] = str(e)[:200]
+    try:
+        sh_ms, un_ms = _retry(measure_sharded_on_one)
+        extra["sharded1_vcycle_2048_ms"] = sh_ms
+        extra["unsharded_vcycle_2048_ms"] = un_ms
+        extra["sharded1_overhead_ratio"] = sh_ms / un_ms
+    except Exception as e:
+        extra["sharded1_error"] = str(e)[:200]
+    try:
+        extra.update(_retry(lambda: measure_amg_fd(1024)))
+    except Exception as e:
+        extra["amg_fd_error"] = str(e)[:200]
 
     print(
         json.dumps(

@@ -1,0 +1,132 @@
+"""End-to-end AMG solve wall-time on hardware (VERDICT r2 item 3).
+
+The reference's headline AMG behavior is the whole ``apply_AMG`` flow
+(``/root/reference/AMG/src/AMG.cpp:277-308``): setup + smoothed V-cycles to
+tolerance.  This harness times the TPU equivalent end to end:
+
+* an FD Poisson system (``models/poisson.poisson_fd_csr``) at 512^2 /
+  1024^2 (0.26M / 1.05M rows — BASELINE config 3's "large FD system"), and
+* the reference's own FEM mesh (``mesh1.msh``) when present,
+
+with the out-of-the-box solver configuration (Chebyshev smoother riding the
+Pallas ELL SpMV on TPU backends), in plain f32 and ff32 extended precision.
+
+Usage: python -m benchmarks.amg_bench [n_grid ...]   (default: 512 1024)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _fence(x):
+    import jax
+
+    return float(np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(x)[0])).ravel()[0])
+
+
+def _best_of(fn, reps=3):
+    best, out = float("inf"), None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        _fence(out[0])
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def bench_fd(n_grid: int, tol: float = 1e-8) -> dict:
+    import jax
+
+    from multigrid_prj_tpu.amg import AMGSolver
+    from multigrid_prj_tpu.models.poisson import poisson_fd_csr
+
+    t0 = time.perf_counter()
+    A = poisson_fd_csr(n_grid)
+    t_build = time.perf_counter() - t0
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.shape[0]).astype(np.float32)
+
+    t0 = time.perf_counter()
+    solver = AMGSolver(A, num_levels=12)
+    t_setup = time.perf_counter() - t0
+
+    rec = {
+        "system": f"fd_poisson_{n_grid}x{n_grid}",
+        "rows": A.shape[0], "nnz": A.nnz,
+        "backend": jax.default_backend(),
+        "matrix_build_s": t_build, "setup_s": t_setup,
+        "levels": solver.level_sizes,
+        "operator_complexity": solver.operator_complexity,
+        "smoother": solver.smoother_name,
+        "pallas_spmv_levels": sum(
+            1 for l in solver.levels if l.A_fast is not None),
+    }
+
+    out = solver.solve(b, tol=tol)  # compile
+    dt, out = _best_of(lambda: solver.solve(b, tol=tol))
+    rec["solve_f32_ms"] = dt * 1e3
+    rec["solve_f32_iters"] = out.iterations
+    rec["solve_f32_rel"] = out.rel_residual
+
+    out = solver.solve_pcg(b, tol=tol)
+    dt, out = _best_of(lambda: solver.solve_pcg(b, tol=tol))
+    rec["pcg_ms"] = dt * 1e3
+    rec["pcg_iters"] = out.iterations
+
+    out = solver.solve_refined(b, tol=1e-9)
+    dt, out = _best_of(lambda: solver.solve_refined(b, tol=1e-9))
+    rec["solve_ff32_ms"] = dt * 1e3
+    rec["solve_ff32_iters"] = out.iterations
+    rec["solve_ff32_rel"] = out.rel_residual
+    return rec
+
+
+def bench_mesh(path: str, tol: float = 1e-10) -> dict:
+    import jax
+
+    from multigrid_prj_tpu.amg import AMGSolver
+    from multigrid_prj_tpu.models.fem import assemble_p1, parse_msh
+
+    t0 = time.perf_counter()
+    mesh = parse_msh(path)
+    A, rhs = assemble_p1(mesh)
+    t_asm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    solver = AMGSolver(A, num_levels=5, rhs=rhs)
+    t_setup = time.perf_counter() - t0
+    rec = {
+        "system": os.path.basename(path), "rows": A.shape[0], "nnz": A.nnz,
+        "backend": jax.default_backend(),
+        "assembly_s": t_asm, "setup_s": t_setup,
+        "smoother": solver.smoother_name,
+    }
+    out = solver.solve_pcg(rhs, tol=tol)
+    dt, out = _best_of(lambda: solver.solve_pcg(rhs, tol=tol))
+    rec["pcg_ms"] = dt * 1e3
+    rec["pcg_iters"] = out.iterations
+    rec["pcg_rel"] = out.rel_residual
+    return rec
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    sizes = [int(a) for a in argv] or [512, 1024]
+    results = []
+    for n in sizes:
+        results.append(bench_fd(n))
+        print(json.dumps(results[-1]), flush=True)
+    mesh = "/root/reference/AMG/mesh/mesh1.msh"
+    if os.path.exists(mesh):
+        results.append(bench_mesh(mesh))
+        print(json.dumps(results[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""At-scale artifacts (VERDICT r2 item 6): BASELINE config 5.
+
+Two modes:
+
+* ``--single`` (real TPU): >= 100M-nnz single-chip solves —
+    - 8193^2 (335M-nnz effective 5-point stencil) ff32 refined GMG solve
+      to 1e-7, wall-clock + iterations;
+    - 16385^2 (1.3B-nnz) fixed-cycle V(2,2) throughput (per-cycle ms and
+      nnz/s; plain-f32 convergence is floored at this kappa, so the
+      throughput metric is the honest one).
+* ``--sweep`` (8 virtual CPU devices): the weak-scaling plumbing sweep of
+  ``benchmarks/run.py`` config5 at a configurable rows-per-device
+  (``--rows-per-dev``, default 512 -> n = 4096 at P = 8, 84M nnz).
+
+Writes/updates ``benchmarks/SCALING_r03.json`` (one JSON object per mode).
+
+Usage:
+    python -m benchmarks.scale_bench --single
+    python -m benchmarks.scale_bench --sweep --rows-per-dev 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "SCALING_r03.json")
+
+
+def _fence(x):
+    import jax
+
+    return float(np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(x)[0])).ravel()[0])
+
+
+def single_chip() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from multigrid_prj_tpu.gmg import GMGSolver
+    from multigrid_prj_tpu.models.poisson import assemble_rhs
+    from multigrid_prj_tpu.ops.transfer import pad_to
+
+    rec = {"mode": "single_chip", "backend": jax.default_backend(),
+           "device": str(getattr(jax.devices()[0], "device_kind", "?"))}
+
+    # 8193^2 ff32 refined solve to 1e-7 (the largest size where refined
+    # convergence was characterized; 335M effective nnz)
+    n = 8193
+    solver = GMGSolver(shape=(n, n), length=10.0, alpha=10.0, num_levels=8,
+                       cycle="v", nu=2, pre_sweeps=2, tol=1e-7, maxit=200,
+                       pad_align=256)
+    b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
+    out = solver.solve_refined(b)  # compile
+    t0 = time.perf_counter()
+    out = solver.solve_refined(b)
+    _fence(out.u)
+    dt = time.perf_counter() - t0
+    nnz = n * n + 4 * (n - 2) ** 2
+    rec["ff32_8193"] = {
+        "nnz": nnz, "iters": int(out.iterations),
+        "rel_residual": float(out.history[-1]),
+        "converged": bool(out.converged), "wall_s": dt,
+    }
+
+    # 16385^2 fixed-cycle throughput (1.3B effective nnz / cycle leg)
+    n = 16385
+    cycles = 10
+    solver = GMGSolver(shape=(n, n), length=10.0, alpha=10.0, num_levels=9,
+                       cycle="v", nu=2, pre_sweeps=2, tol=0.0, maxit=cycles,
+                       pad_align=256)
+    b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
+    lev0 = solver.levels[0]
+    bp = pad_to(b, lev0.padded_shape)
+
+    import jax as _jax
+
+    @_jax.jit
+    def k_cycles(u, bb, cinv):
+        def body(_, uu):
+            return solver.step(uu, bb, cinv)
+
+        return _jax.lax.fori_loop(0, cycles, body, u)
+
+    u = k_cycles(jnp.zeros_like(bp), bp, solver._coarse_inv)
+    _fence(u)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        u = k_cycles(jnp.zeros_like(bp), bp, solver._coarse_inv)
+        _fence(u)
+        best = min(best, time.perf_counter() - t0)
+    nnz = n * n + 4 * (n - 2) ** 2
+    rec["vcycle_16385"] = {
+        "nnz": nnz, "cycles": cycles, "wall_s": best,
+        "ms_per_cycle": best / cycles * 1e3,
+        # one V(2,2) cycle sweeps the fine operator ~6x (2+2 smooths,
+        # residual, prolong-correct) — report raw cycle rate, not inflated
+        "cycles_nnz_per_s": nnz * cycles / best,
+    }
+    return rec
+
+
+def sweep(rows_per_dev: int) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from multigrid_prj_tpu.models.poisson import assemble_rhs
+    from multigrid_prj_tpu.parallel.sharded_gmg import ShardedGMGSolver
+
+    devs = jax.devices()
+    rec = {"mode": "virtual_sweep", "rows_per_dev": rows_per_dev,
+           "devices": len(devs), "sweep": [],
+           "note": ("8 virtual CPU devices on one host: validates sharded "
+                    "plumbing and records the collective/compute overhead "
+                    "trend, NOT real ICI scaling")}
+    for p in (1, 2, 4, 8):
+        if p > len(devs):
+            break
+        n = rows_per_dev * p
+        mesh = Mesh(np.array(devs[:p]), ("x",))
+        solver = ShardedGMGSolver(shape=(n, n), mesh=mesh, num_levels=5,
+                                  nu1=2, nu2=2, maxit=2, tol=0.0)
+        b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
+        bs = jax.device_put(b, solver.sharding)
+        u0 = jax.device_put(jnp.zeros_like(b), solver.sharding)
+        solver.step(u0, bs)  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _fence(solver.step(u0, bs))
+            best = min(best, time.perf_counter() - t0)
+        nnz = 5 * n * n
+        rec["sweep"].append({
+            "devices": p, "n": n, "nnz": nnz, "cycle_s": best,
+            "nnz_per_s_per_device": nnz / best / p,
+        })
+        print(json.dumps(rec["sweep"][-1]), flush=True)
+    if len(rec["sweep"]) >= 2:
+        base = rec["sweep"][0]["nnz_per_s_per_device"]
+        rec["weak_scaling_efficiency"] = (
+            rec["sweep"][-1]["nnz_per_s_per_device"] / base)
+    return rec
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--single", action="store_true")
+    ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--rows-per-dev", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    data = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            data = json.load(f)
+    if args.sweep:
+        data["virtual_sweep"] = sweep(args.rows_per_dev)
+    if args.single:
+        data["single_chip"] = single_chip()
+    with open(OUT, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(data))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multigrid_prj_tpu.ops.sparse import ELLMatrix, HostCSR, rap
+from multigrid_prj_tpu.ops.sparse import ELLMatrix, HostCSR, rap, to_device
 
 THETA_DEFAULT = 0.2  # AMG/include/AMG.hpp:21 (EPSILON)
 
@@ -337,7 +337,7 @@ def _to_device_level(A: HostCSR, dtype=jnp.float64,
                      with_colors: bool = True) -> tuple:
     ell = ELLMatrix.from_host_csr(A, dtype=dtype)
     diag_np = A.diagonal()
-    diag = jnp.asarray(diag_np, dtype=dtype)
+    diag = to_device(diag_np, dtype)
     if not with_colors:
         # the coloring (and per-color ELL blocks) only power the mcgs
         # smoother; skip the O(nnz) host pass + device copies otherwise
@@ -350,12 +350,12 @@ def _to_device_level(A: HostCSR, dtype=jnp.float64,
     for c in range(n_colors):
         rows_c = np.flatnonzero(colors == c).astype(np.int32)
         blocks.append(ColorBlock(
-            rows=jnp.asarray(rows_c),
-            cols=jnp.asarray(cols_np[rows_c]),
-            vals=jnp.asarray(vals_np[rows_c], dtype=dtype),
-            inv_diag=jnp.asarray(1.0 / safe_diag[rows_c], dtype=dtype),
+            rows=to_device(rows_c),
+            cols=to_device(cols_np[rows_c]),
+            vals=to_device(vals_np[rows_c], dtype),
+            inv_diag=to_device(1.0 / safe_diag[rows_c], dtype),
         ))
-    return ell, diag, jnp.asarray(colors, dtype=jnp.int32), n_colors, tuple(blocks)
+    return ell, diag, to_device(colors, jnp.int32), n_colors, tuple(blocks)
 
 
 def mc_gs_sweep(level: AMGLevel, x: jax.Array, b: jax.Array) -> jax.Array:
@@ -532,7 +532,7 @@ class AMGSolver:
                 Pt_fast = _fast(self.host_P[i].transpose())
             lvl_rhs = None
             if rhs_l is not None:
-                lvl_rhs = jnp.asarray(rhs_l, dtype=dtype)
+                lvl_rhs = to_device(rhs_l, dtype)
                 if i < len(self.host_P):
                     rhs_l = self.host_P[i].transpose().spmv(rhs_l)
             self.levels.append(
@@ -543,8 +543,8 @@ class AMGSolver:
             )
 
         # dense coarsest operator for the direct bottom solve
-        self._coarse_dense = jnp.asarray(
-            self.host_matrices[-1].to_dense(), dtype=dtype
+        self._coarse_dense = to_device(
+            self.host_matrices[-1].to_dense(), dtype
         )
         # Level data is passed as pytree ARGUMENTS, never closed over:
         # closure capture would bake O(nnz) arrays into the executable as

@@ -73,7 +73,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from multigrid_prj_tpu.ops.sparse import HostCSR
+from multigrid_prj_tpu.ops.sparse import to_device, HostCSR
 
 _LANE = 128
 _MAX_X_VMEM = 8 * 1024 * 1024  # VMEM-resident x mode above this falls back
@@ -328,8 +328,8 @@ class PallasELL:
                        | (cols & (_LANE - 1)))
                 assert rel.min() >= 0 and rel.max() < u_max * _LANE
                 return PallasELL(
-                    colsT_rel=jnp.asarray(rel.T.astype(np.int16)),
-                    valsT=jnp.asarray(vals.T, dtype=dtype),
+                    colsT_rel=to_device(rel.T.astype(np.int16)),
+                    valsT=to_device(vals.T, dtype),
                     base2=jnp.zeros(n_lt, jnp.int32),
                     q=None,
                     q2=None,
@@ -338,7 +338,7 @@ class PallasELL:
                     m_pad=(s_tiles + 8) * _LANE,
                     block_rows=block_rows,
                     nnz=csr.nnz,
-                    tiles2=jnp.asarray(tiles2.reshape(-1)),
+                    tiles2=to_device(tiles2.reshape(-1)),
                     u_max=u_max,
                     interpret=interpret,
                 )
@@ -375,11 +375,11 @@ class PallasELL:
         else:
             m_pad = (s_tiles + tw_slice) * _LANE
         return PallasELL(
-            colsT_rel=jnp.asarray(rel.T.astype(np.int16)),
-            valsT=jnp.asarray(vals.T, dtype=dtype),
-            base2=jnp.asarray(base2),
-            q=None if q is None else jnp.asarray(q),
-            q2=None if q2 is None else jnp.asarray(q2),
+            colsT_rel=to_device(rel.T.astype(np.int16)),
+            valsT=to_device(vals.T, dtype),
+            base2=to_device(base2),
+            q=None if q is None else to_device(q),
+            q2=None if q2 is None else to_device(q2),
             shape=(n, m),
             t_win=t_win,
             m_pad=m_pad,
