@@ -408,6 +408,9 @@ def measure_vcycle_ff32(n: int = 1025, tol: float = 1e-8):
 
 
 def main() -> None:
+    from benchmarks import _cache
+
+    _cache.enable()
     n = int(os.environ.get("BENCH_N", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
 

@@ -116,6 +116,9 @@ def bench_mesh(path: str, tol: float = 1e-10) -> dict:
 
 
 def main(argv=None) -> None:
+    from benchmarks import _cache
+
+    _cache.enable()
     argv = sys.argv[1:] if argv is None else argv
     sizes = [int(a) for a in argv] or [512, 1024]
     results = []

@@ -154,6 +154,9 @@ def sweep(rows_per_dev: int) -> dict:
 
 
 def main(argv=None) -> None:
+    from benchmarks import _cache
+
+    _cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--single", action="store_true")
     ap.add_argument("--sweep", action="store_true")

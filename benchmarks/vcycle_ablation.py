@@ -53,6 +53,9 @@ def timed_chain(make_chain, x, few: int, many: int, reps: int = 7):
 
 
 def main(argv=None) -> None:
+    from benchmarks import _cache
+
+    _cache.enable()
     argv = argv if argv is not None else sys.argv[1:]
     n = int(argv[0]) if argv else 1025
 

@@ -477,6 +477,14 @@ class GMGSolver:
         return self._cycle(e, r, cinv)
 
     def _solve_impl(self, u, b, cinv=None):
+        # logical-shape operands are padded here (inside the jit) so a solve
+        # is one device dispatch with no eager pad/crop roundtrips
+        lev0 = self.levels[0]
+        padded = lev0.padded_shape is not None
+        if padded and tuple(b.shape) == lev0.shape:
+            b = pad_to(b, lev0.padded_shape)
+        if padded and tuple(u.shape) == lev0.shape:
+            u = pad_to(u, lev0.padded_shape)
         h0 = self.levels[0].h
         dtype = b.dtype
         hist = jnp.full((self.maxit + 1,), jnp.nan, dtype=dtype)
@@ -496,6 +504,8 @@ class GMGSolver:
             return u, k + 1, hist
 
         u, k, hist = lax.while_loop(cond, body, (u, jnp.int32(0), hist))
+        if padded:
+            u = crop_to(u, lev0.shape)
         return u, k, hist
 
     def _solve_impl_ff(self, b_logical, cinv=None):
@@ -595,24 +605,18 @@ class GMGSolver:
 
         check_finite(b, "rhs b")
         lev0 = self.levels[0]
-        if lev0.padded_shape is not None and tuple(b.shape) == lev0.shape:
-            from multigrid_prj_tpu.ops.transfer import crop_to, pad_to
-
-            b = pad_to(b, lev0.padded_shape)
-            if u0 is not None and tuple(u0.shape) == lev0.shape:
-                u0 = pad_to(u0, lev0.padded_shape)
         if fmg_start and u0 is None:
+            bp = (pad_to(b, lev0.padded_shape)
+                  if lev0.padded_shape is not None
+                  and tuple(b.shape) == lev0.shape else b)
             u0 = jax.jit(
                 lambda bb: fmg(bb, self.levels, self.alpha, self.smoother,
                                nu1=self.pre_sweeps, nu2=self.nu)
-            )(b)
+            )(bp)
         if u0 is None:
             u0 = jnp.zeros_like(b)
+        # padding/cropping happens inside the jitted solve (one dispatch)
         u, k, hist = self._jit_solve(u0, b, self._coarse_inv)
-        if lev0.padded_shape is not None:
-            from multigrid_prj_tpu.ops.transfer import crop_to
-
-            u = crop_to(u, lev0.shape)
         k = int(k)
         hist_np = hist[: k + 1]
         return SolveResult(
