@@ -1,6 +1,9 @@
 """Headline benchmark: matrix-free 5-point Poisson operator-chain throughput
-per chip, plus secondary hardware metrics (single-apply stream, Pallas ELL
-SpMV, ff32 V-cycle wall time) in the same JSON line's ``extra`` field.
+per chip, plus secondary hardware metrics in the same JSON line's ``extra``
+field: single-apply stream + measured-SoL accounting, Pallas ELL SpMV
+(1M and 16M rows — the lifted-size-cap check), SpMM, 3D 256^3 apply,
+ff32 V-cycle wall time, sharded-on-1-device vs unsharded V-cycle ratio,
+and end-to-end AMG FD solve times (f32/ff32/PCG).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 

@@ -41,7 +41,10 @@ def _best_of(fn, reps=3):
     return best, out
 
 
-def bench_fd(n_grid: int, tol: float = 1e-8) -> dict:
+def bench_fd(n_grid: int, tol: float = 1e-5, tol_ff: float = 1e-8) -> dict:
+    """``tol`` (plain f32 paths) defaults to 1e-5: the f32 residual floor
+    at these condition numbers sits near ~1e-6, so 1e-8 would just burn
+    maxit; the ff32 refined solve targets ``tol_ff = 1e-8``."""
     import jax
 
     from multigrid_prj_tpu.amg import AMGSolver
@@ -69,8 +72,8 @@ def bench_fd(n_grid: int, tol: float = 1e-8) -> dict:
             1 for l in solver.levels if l.A_fast is not None),
     }
 
-    out = solver.solve(b, tol=tol)  # compile
-    dt, out = _best_of(lambda: solver.solve(b, tol=tol))
+    out = solver.solve(b, tol=tol, maxit=200)  # compile
+    dt, out = _best_of(lambda: solver.solve(b, tol=tol, maxit=200))
     rec["solve_f32_ms"] = dt * 1e3
     rec["solve_f32_iters"] = out.iterations
     rec["solve_f32_rel"] = out.rel_residual
@@ -80,8 +83,9 @@ def bench_fd(n_grid: int, tol: float = 1e-8) -> dict:
     rec["pcg_ms"] = dt * 1e3
     rec["pcg_iters"] = out.iterations
 
-    out = solver.solve_refined(b, tol=1e-9)
-    dt, out = _best_of(lambda: solver.solve_refined(b, tol=1e-9))
+    out = solver.solve_refined(b, tol=tol_ff, maxit=300)
+    dt, out = _best_of(lambda: solver.solve_refined(b, tol=tol_ff,
+                                                    maxit=300))
     rec["solve_ff32_ms"] = dt * 1e3
     rec["solve_ff32_iters"] = out.iterations
     rec["solve_ff32_rel"] = out.rel_residual

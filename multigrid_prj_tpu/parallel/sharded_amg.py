@@ -287,6 +287,7 @@ class ShardedAMGSolver:
         num_levels: int = 5,
         theta: float = THETA_DEFAULT,
         coarsening: str = "pmis",
+        interp: str = "smoothed",  # "smoothed" | "direct" (as AMGSolver)
         smoother: str = "chebyshev",  # "chebyshev" | "jacobi"
         cheb_degree: int = 3,
         nu1: int = 1,
@@ -328,6 +329,10 @@ class ShardedAMGSolver:
             if labels.sum() == cur.shape[0]:
                 break
             Pm = build_prolongation(cur, labels, theta)
+            if interp == "smoothed":
+                from multigrid_prj_tpu.amg import smooth_prolongation
+
+                Pm = smooth_prolongation(cur, Pm, _estimate_lmax(cur))
             cur = rap(Pm, cur)
             self.host_P.append(Pm)
             self.host_matrices.append(cur)
