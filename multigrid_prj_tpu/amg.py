@@ -753,14 +753,35 @@ class AMGSolver:
         check_finite(b, "rhs b")
         b = self._perm_in(b)
         if not hasattr(self, "_ell_pair"):
+            # Pallas pair-mode residual kernel where available (the gather
+            # lowering of ell_residual_ff measures ~13x slower); VMEM-x
+            # mode only — larger/wide systems keep the gather path
+            self._ell_pair_fast = None
+            if self._use_pallas:
+                from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
+
+                pf = PallasELL.build(self.host_matrices[0], dtype=jnp.float32,
+                                     interpret=self._pallas_interpret,
+                                     pair=True)
+                if pf is not None and not pf.windowed and not pf.compact:
+                    self._ell_pair_fast = pf
             self._ell_pair = ELLPair.from_host_csr(self.host_matrices[0])
         A2 = self._ell_pair
+        A2f = self._ell_pair_fast
         b_hi, b_lo = ff_pair_from_f64(np.asarray(b, dtype=np.float64))
         f32 = jnp.float32
 
         if not hasattr(self, "_jit_solve_ff"):
+            use_fast = self._ell_pair_fast is not None
 
-            def _impl(levels, coarse_dense, A2, b_hi, b_lo, tol, maxit):
+            def _impl(levels, coarse_dense, A2, A2f, b_hi, b_lo, tol, maxit):
+                if use_fast:
+                    def ell_residual_ff(_, b_hi, b_lo, x_hi, x_lo):
+                        return A2f.residual_ff(b_hi, b_lo, x_hi, x_lo)
+                else:
+                    from multigrid_prj_tpu.ops.sparse_extended import (
+                        ell_residual_ff,
+                    )
                 b2 = jnp.sum(b_hi.astype(f32) ** 2)
 
                 def rel_of(rn2):
@@ -801,7 +822,7 @@ class AMGSolver:
             self._jit_solve_ff = jax.jit(_impl)
 
         x_hi, x_lo, k, rel, hist = self._jit_solve_ff(
-            *self._args(), A2, b_hi, b_lo, jnp.asarray(tol, f32),
+            *self._args(), A2, A2f, b_hi, b_lo, jnp.asarray(tol, f32),
             jnp.asarray(maxit, jnp.int32)
         )
         x = np.asarray(x_hi, np.float64) + np.asarray(x_lo, np.float64)

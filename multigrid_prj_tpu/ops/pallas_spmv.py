@@ -189,6 +189,50 @@ def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
         o_ref[0, j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
+def _ffres_kernel(base2_ref, cols_ref, vh_ref, vl_ref, xh_ref, xl_ref,
+                  bh_ref, bl_ref, o_ref, *, k, r, t_win, tw_slice):
+    """Extended-precision residual ``r = b - A x`` with pair-carried
+    ``A`` (vals hi+lo) and ``x`` (hi+lo): the kernel analog of
+    ``ops/sparse_extended.ell_residual_ff`` — Dekker two_prod per slot
+    (exact without FMA) + a cascaded two_sum over the K slots — running on
+    the banded-window gather layout instead of the ~13x-slower
+    ``jnp.take`` lowering.  Numerics match the XLA chain op-for-op."""
+    i = pl.program_id(0)
+    nlt = r // _LANE
+    for j in range(nlt):
+        sl = slice(j * _LANE, (j + 1) * _LANE)
+        idx = cols_ref[:, sl].astype(jnp.int32)
+        base = base2_ref[i * nlt + j]
+        gh = _gather_tile(xh_ref[pl.ds(base, tw_slice), :], idx, k, t_win,
+                          xh_ref.dtype)
+        gl = _gather_tile(xl_ref[pl.ds(base, tw_slice), :], idx, k, t_win,
+                          xh_ref.dtype)
+        vh = vh_ref[:, sl]
+        vl = vl_ref[:, sl]
+        # two_prod(vh, gh) via Veltkamp splitting (4097 = 2^12 + 1)
+        p = vh * gh
+        c1 = 4097.0 * vh
+        sp_ah = c1 - (c1 - vh)
+        sp_al = vh - sp_ah
+        c2 = 4097.0 * gh
+        sp_bh = c2 - (c2 - gh)
+        sp_bl = gh - sp_bh
+        e = ((sp_ah * sp_bh - p) + sp_ah * sp_bl + sp_al * sp_bh) \
+            + sp_al * sp_bl
+        e = e + vh * gl + vl * gh
+        acc_h = bh_ref[j:j + 1, :]
+        acc_l = bl_ref[j:j + 1, :]
+        for kk in range(k):  # cascaded exact accumulation over ELL slots
+            pk = p[kk:kk + 1, :]
+            s = acc_h - pk
+            bb = s - acc_h
+            err = (acc_h - (s - bb)) + (-pk - bb)
+            err = err + (acc_l - e[kk:kk + 1, :])
+            acc_h = s + err
+            acc_l = err - (acc_h - s)
+        o_ref[j, :] = (acc_h + acc_l)[0, :]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PallasELL:
@@ -214,6 +258,10 @@ class PallasELL:
     # run the kernel in interpreter mode (CPU tests of TPU code paths)
     interpret: bool = dataclasses.field(default=False,
                                         metadata=dict(static=True))
+    # ff32 pair mode (build(pair=True)): vals_lo = f64(vals) - f32(vals),
+    # same slot-major layout — powers the extended-precision residual
+    # kernel (residual_ff)
+    valsT_lo: Optional[jax.Array] = None
 
     @property
     def windowed(self) -> bool:
@@ -231,6 +279,7 @@ class PallasELL:
         max_t_win: int = _MAX_T_WIN,
         interpret: bool = False,
         max_x_vmem: int = _MAX_X_VMEM,
+        pair: bool = False,
     ) -> Optional["PallasELL"]:
         """Prepare a CSR matrix for the kernel; ``None`` if unsupported.
 
@@ -292,6 +341,12 @@ class PallasELL:
         n_lt = n_pad // _LANE
         tile_of = cols >> 7  # (n_pad, k_pad)
         tile_of_lt = tile_of.reshape(n_lt, _LANE, k_pad)
+        def _vlo():
+            if not pair:
+                return None
+            hi32 = vals.astype(np.float32)
+            return to_device((vals - hi32.astype(np.float64)).T, dtype)
+
         lo_t = tile_of_lt.min(axis=(1, 2))
         hi_t = tile_of_lt.max(axis=(1, 2))
         base2 = lo_t.astype(np.int32)
@@ -341,6 +396,7 @@ class PallasELL:
                     tiles2=to_device(tiles2.reshape(-1)),
                     u_max=u_max,
                     interpret=interpret,
+                    valsT_lo=_vlo(),
                 )
         if t_win > max_t_win:
             return None
@@ -387,6 +443,7 @@ class PallasELL:
             nnz=csr.nnz,
             wq=wq,
             interpret=interpret,
+            valsT_lo=_vlo(),
         )
 
     @property
@@ -484,6 +541,61 @@ class PallasELL:
                                 t_win=self.t_win, block_rows=r,
                                 interpret=interpret, cost=cost)
 
+
+    # -- extended-precision residual (pair mode) -------------------------
+
+    def residual_ff(self, b_hi, b_lo, x_hi, x_lo, *,
+                    interpret: bool | None = None):
+        """``r = b - A x`` with ``A``/``x``/``b`` carried as f32 pairs, in
+        one kernel pass (requires ``build(pair=True)`` and the VMEM-x
+        mode).  Arguments are logical ``(n,)`` vectors (square A); returns
+        the combined f32 residual like
+        ``ops/sparse_extended.ell_residual_ff``."""
+        if self.valsT_lo is None:
+            raise ValueError("residual_ff needs build(pair=True)")
+        if self.windowed or self.compact:
+            raise ValueError("residual_ff supports the VMEM-x mode only")
+        interpret = self.interpret if interpret is None else interpret
+        k_pad, n_pad = self.colsT_rel.shape
+        r = self.block_rows
+        nb = n_pad // r
+        nlt = r // _LANE
+        tw_slice = max(8, self.t_win)
+
+        def pad_b(v):
+            vp = jnp.zeros((n_pad,), self.valsT.dtype)
+            return vp.at[: self.shape[0]].set(
+                v.astype(self.valsT.dtype)).reshape(-1, _LANE)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+                pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(_ffres_kernel, k=k_pad, r=r, t_win=self.t_win,
+                              tw_slice=tw_slice),
+            out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
+                                           self.valsT.dtype),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=30 * k_pad * n_pad,
+                bytes_accessed=10 * k_pad * n_pad + 24 * n_pad,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(self.base2, self.colsT_rel, self.valsT, self.valsT_lo,
+          self.pad_x(x_hi), self.pad_x(x_lo), pad_b(b_hi), pad_b(b_lo))
+        return out.reshape(-1)[: self.shape[0]]
 
     # -- multi-vector (SpMM) ---------------------------------------------
 

@@ -327,3 +327,24 @@ def test_amg_pallas_spmv_path():
     # true residual in the caller frame
     r = b - A.spmv(np.asarray(x_f, np.float64))
     assert np.linalg.norm(r) / np.linalg.norm(b) < 5e-5
+
+
+def test_amg_refined_pallas_residual_path():
+    """solve_refined with the pair-mode Pallas residual kernel (interpret
+    mode): the kernel path must engage and reach below the plain-f32
+    floor, matching the gather-path result."""
+    A = fd_poisson(40)
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(A.shape[0])
+    fast = AMGSolver(A, num_levels=3, dtype=jnp.float32,
+                     smoother="chebyshev", use_pallas=True,
+                     pallas_interpret=True, reorder="rcm",
+                     pallas_min_rows=512)
+    out_f = fast.solve_refined(b, tol=1e-9, maxit=80)
+    assert fast._ell_pair_fast is not None  # kernel path engaged
+    assert out_f.rel_residual <= 1e-9
+    plain = AMGSolver(A, num_levels=3, dtype=jnp.float32,
+                      smoother="chebyshev", use_pallas=False, reorder="none")
+    out_p = plain.solve_refined(b, tol=1e-9, maxit=80)
+    np.testing.assert_allclose(np.asarray(out_f.x), np.asarray(out_p.x),
+                               rtol=1e-6, atol=1e-8)

@@ -227,3 +227,36 @@ def test_spmm_chunks_large_blocks(monkeypatch):
     got = np.asarray(pA.spmm(jnp.asarray(X), interpret=True), np.float64)
     want = A.spmm(X.astype(np.float64))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_residual_ff_matches_gather_chain():
+    """Pair-mode kernel residual vs the XLA EFT chain: same two_prod /
+    two_sum sequence, so agreement to ~1 ulp of the combined result; and
+    both must beat the plain-f32 residual's accuracy on an ill-scaled
+    system."""
+    from multigrid_prj_tpu.ops.sparse_extended import (
+        ELLPair, ell_residual_ff, ff_pair_from_f64,
+    )
+
+    A = fd_poisson(16)
+    # scale to make f32 products lossy
+    A = HostCSR.from_coo(*(list(A.to_coo())[:2] +
+                           [A.to_coo()[2] * 1.000000119]), A.shape)
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024, pair=True)
+    assert pA is not None and pA.valsT_lo is not None
+    A2 = ELLPair.from_host_csr(A)
+    rng = np.random.default_rng(3)
+    x64 = rng.standard_normal(A.shape[0])
+    b64 = A.spmv(rng.standard_normal(A.shape[0]))
+    x_hi, x_lo = ff_pair_from_f64(x64)
+    b_hi, b_lo = ff_pair_from_f64(b64)
+    want = np.asarray(ell_residual_ff(A2, b_hi, b_lo, x_hi, x_lo))
+    got = np.asarray(pA.residual_ff(b_hi, b_lo, x_hi, x_lo, interpret=True))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=3e-7 * scale, rtol=3e-6)
+    # accuracy vs exact f64 residual: extended must be ~eps_ff, i.e. far
+    # below the f32 floor
+    r64 = b64 - A.spmv(np.asarray(x_hi, np.float64)
+                       + np.asarray(x_lo, np.float64))
+    err = np.abs(got - r64).max()
+    assert err <= 1e-5 * np.abs(r64).max() + 1e-9, err
