@@ -72,23 +72,23 @@ def bench_fd(n_grid: int, tol: float = 1e-5, tol_ff: float = 1e-8) -> dict:
             1 for l in solver.levels if l.A_fast is not None),
     }
 
-    out = solver.solve(b, tol=tol, maxit=200)  # compile
-    dt, out = _best_of(lambda: solver.solve(b, tol=tol, maxit=200))
-    rec["solve_f32_ms"] = dt * 1e3
-    rec["solve_f32_iters"] = out.iterations
-    rec["solve_f32_rel"] = out.rel_residual
+    def phase(tag, fn, fields):
+        try:
+            fn()  # compile
+            dt, out = _best_of(fn)
+            rec[tag + "_ms"] = dt * 1e3
+            for name, get in fields.items():
+                rec[tag + "_" + name] = get(out)
+        except Exception as e:  # one bad phase must not lose the record
+            rec[tag + "_error"] = str(e)[:200]
 
-    out = solver.solve_pcg(b, tol=tol)
-    dt, out = _best_of(lambda: solver.solve_pcg(b, tol=tol))
-    rec["pcg_ms"] = dt * 1e3
-    rec["pcg_iters"] = out.iterations
-
-    out = solver.solve_refined(b, tol=tol_ff, maxit=300)
-    dt, out = _best_of(lambda: solver.solve_refined(b, tol=tol_ff,
-                                                    maxit=300))
-    rec["solve_ff32_ms"] = dt * 1e3
-    rec["solve_ff32_iters"] = out.iterations
-    rec["solve_ff32_rel"] = out.rel_residual
+    phase("solve_f32", lambda: solver.solve(b, tol=tol, maxit=200),
+          {"iters": lambda o: o.iterations, "rel": lambda o: o.rel_residual})
+    phase("pcg", lambda: solver.solve_pcg(b, tol=tol),
+          {"iters": lambda o: o.iterations})
+    phase("solve_ff32", lambda: solver.solve_refined(b, tol=tol_ff,
+                                                     maxit=300),
+          {"iters": lambda o: o.iterations, "rel": lambda o: o.rel_residual})
     return rec
 
 

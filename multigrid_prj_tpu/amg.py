@@ -259,7 +259,7 @@ def build_prolongation(
 
 def smooth_prolongation(A: HostCSR, P: HostCSR, lmax: float,
                         omega_factor: float = 4.0 / 3.0,
-                        drop_tol: float = 1e-4) -> HostCSR:
+                        drop_tol: float = 0.02) -> HostCSR:
     """Jacobi-smoothed interpolation ``P_s = (I - omega D^{-1} A) P``.
 
     The standard smoothed-aggregation upgrade applied to the classical

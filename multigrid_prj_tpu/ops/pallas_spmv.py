@@ -301,15 +301,22 @@ class PallasELL:
         n, m = csr.shape
         if n == 0 or csr.nnz == 0:
             return None
-        if block_rows is None:
-            block_rows = min(16384, -(-n // 1024) * 1024)
-        if block_rows % (8 * _LANE):
-            raise ValueError("block_rows must be a multiple of 1024 "
-                             "(8-sublane output tiles)")
         s_tiles = -(-m // _LANE)
         lengths = csr.row_lengths
         k = int(lengths.max())
         k_pad = max(8, -(-k // 8) * 8)
+        if block_rows is None:
+            block_rows = min(16384, -(-n // 1024) * 1024)
+            # dense-ish rows (large K, e.g. smoothed-P coarse operators):
+            # shrink the row block so the double-buffered cols+vals blocks
+            # fit scoped VMEM (6 B/slot, ~10 MB budget of the 16 MB limit)
+            r_fit = (10 * 1024 * 1024 // (2 * 6 * k_pad)) // 1024 * 1024
+            if r_fit < 1024:
+                return None  # K too large for any legal row block
+            block_rows = min(block_rows, r_fit)
+        if block_rows % (8 * _LANE):
+            raise ValueError("block_rows must be a multiple of 1024 "
+                             "(8-sublane output tiles)")
         n_pad = -(-n // block_rows) * block_rows
         # dense (n_pad, k_pad) cols/vals; padding slots get col = row's min
         # col (harmless relative index) and val = 0

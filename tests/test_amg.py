@@ -346,5 +346,7 @@ def test_amg_refined_pallas_residual_path():
     plain = AMGSolver(A, num_levels=3, dtype=jnp.float32,
                       smoother="chebyshev", use_pallas=False, reorder="none")
     out_p = plain.solve_refined(b, tol=1e-9, maxit=80)
+    # both converge to 1e-9 residual; solution agreement is bounded by
+    # kappa * tol ~ 1e-5 relative, not by the residual itself
     np.testing.assert_allclose(np.asarray(out_f.x), np.asarray(out_p.x),
-                               rtol=1e-6, atol=1e-8)
+                               rtol=1e-5, atol=1e-7)
