@@ -57,7 +57,10 @@ def bench_fd(n_grid: int, tol: float = 1e-5, tol_ff: float = 1e-8) -> dict:
     b = rng.standard_normal(A.shape[0]).astype(np.float32)
 
     t0 = time.perf_counter()
-    solver = AMGSolver(A, num_levels=12)
+    # min_coarse=2000: stop coarsening once the level fits a precomputed
+    # dense inverse — a deep tail of tiny ELL levels only adds kernel count
+    # and compile size on TPU
+    solver = AMGSolver(A, num_levels=12, min_coarse=2000)
     t_setup = time.perf_counter() - t0
 
     rec = {

@@ -595,9 +595,11 @@ class AMGSolver:
                          P_fast=P_fast, Pt_fast=Pt_fast)
             )
 
-        # dense coarsest operator for the direct bottom solve
+        # dense coarsest-operator INVERSE for the direct bottom solve: one
+        # MXU matmul per cycle instead of an LU factorization per visit
+        # (inverted once on the host in f64)
         self._coarse_dense = to_device(
-            self.host_matrices[-1].to_dense(), dtype
+            np.linalg.inv(self.host_matrices[-1].to_dense()), dtype
         )
         # Level data is passed as pytree ARGUMENTS, never closed over:
         # closure capture would bake O(nnz) arrays into the executable as
@@ -636,7 +638,8 @@ class AMGSolver:
                      _level=0):
         lvl = levels[_level]
         if _level == len(levels) - 1:
-            return jnp.linalg.solve(coarse_dense, b)
+            # coarse_dense holds the PRECOMPUTED inverse (setup, host f64)
+            return coarse_dense @ b
         x = self._smooth(lvl, x, b, nu1)
         r = b - apply_A(lvl, x)
         bc = apply_Pt(lvl, r)
