@@ -218,6 +218,12 @@ def main(argv=None) -> None:
     out["restrict_L0_ms"] = timed_chain(rschain, jnp.ones_like(bp), 10, 110) * 1e3
 
     print(json.dumps(out, indent=2))
+    import os
+
+    art = os.path.join(os.path.dirname(__file__),
+                       f"VCYCLE_ABLATION_r03_{n}.json")
+    with open(art, "w") as f:
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
