@@ -27,8 +27,10 @@ still reports the unfused per-apply stream for roofline accounting.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import signal
 import time
 
 import jax
@@ -370,12 +372,16 @@ def measure_sharded_on_one(n: int = 2048):
     return d_sh / 20 * 1e3, d_un / 20 * 1e3
 
 
-def measure_amg_fd(n_grid: int = 1024, tol: float = 1e-8):
+def measure_amg_fd(n_grid: int = 1024):
     """End-to-end AMG on an FD system: returns a dict of solve wall-times
-    (f32 V-cycle, ff32 refined), iteration counts, and setup time."""
+    (f32 V-cycle, ff32 refined), iteration counts, and setup time.
+
+    Tolerances are bench_fd's defaults: 1e-5 for the plain-f32 paths (the
+    f32 residual floor sits near ~1e-6 at this condition number — round 3
+    passed 1e-8 here, which just burned maxit) and 1e-8 for ff32."""
     from benchmarks.amg_bench import bench_fd
 
-    rec = bench_fd(n_grid, tol=tol)
+    rec = bench_fd(n_grid)
     return {
         "amg_fd_rows": rec["rows"],
         "amg_fd_nnz": rec["nnz"],
@@ -387,6 +393,73 @@ def measure_amg_fd(n_grid: int = 1024, tol: float = 1e-8):
         "amg_fd_pcg_ms": rec["pcg_ms"],
         "amg_fd_smoother": rec["smoother"],
         "amg_fd_pallas_levels": rec["pallas_spmv_levels"],
+    }
+
+
+class _ExtraDeadline(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _deadline(seconds: float):
+    """SIGALRM-based wall cap for one extra.  Best-effort: a signal cannot
+    interrupt a single blocking C call (e.g. one long tunnel compile), but
+    every measurement loop returns to Python between dispatches, so the
+    common overrun (too many reps / retries) is caught.  The incremental
+    ``emit`` after each extra is the hard safety net either way."""
+    def handler(signum, frame):
+        raise _ExtraDeadline(f"extra exceeded {seconds:.0f}s wall cap")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.setitimer(signal.ITIMER_REAL, max(seconds, 1.0))
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def measure_vcycle3d(n: int = 257, tol: float = 1e-8):
+    """BASELINE config 4: 257^3 7-point Poisson, mixed-precision smoothing
+    (bf16 sweeps + f32 residuals/corrections), ff32 outer refinement to
+    1e-8.  Returns (best_ms, iters, rel_residual)."""
+    from multigrid_prj_tpu.gmg import GMGSolver
+    from multigrid_prj_tpu.models.poisson import assemble_rhs
+
+    solver = GMGSolver(shape=(n, n, n), length=1.0, alpha=1.0, num_levels=5,
+                       cycle="v", nu=2, pre_sweeps=2, tol=tol, maxit=60,
+                       smoother_dtype=jnp.bfloat16)
+    # the registry test functions are 2D; supply a smooth 3D (f, g) pair
+    b = assemble_rhs(
+        solver.levels[0], 1.0, dtype=jnp.float32,
+        f=lambda x, y, z: jnp.sin(3.0 * x) * jnp.cos(2.0 * y) + z,
+        g=lambda x, y, z: jnp.exp(x) * jnp.exp(-2.0 * y) * z)
+    out = solver.solve_refined(b)  # warmup (compile)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = solver.solve_refined(b)
+        _fence(out.u)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3, int(out.iterations), float(out.history[-1])
+
+
+def measure_amg_mesh():
+    """The reference's own FEM problem end-to-end (mesh1.msh, 6561 nodes:
+    ``/root/reference/AMG/src/main.cpp:21-23``): P1 assembly + AMG-PCG."""
+    from benchmarks.amg_bench import bench_mesh
+
+    path = "/root/reference/AMG/mesh/mesh1.msh"
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    rec = bench_mesh(path)
+    return {
+        "amg_mesh1_rows": rec["rows"],
+        "amg_mesh1_nnz": rec["nnz"],
+        "amg_mesh1_setup_s": rec["setup_s"],
+        "amg_mesh1_pcg_ms": rec["pcg_ms"],
+        "amg_mesh1_pcg_iters": rec["pcg_iters"],
+        "amg_mesh1_pcg_rel": rec["pcg_rel"],
     }
 
 
@@ -417,7 +490,7 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
 
-    fused, single, nnz = measure_stencil_chains(n, iters)
+    fused, single, nnz = _retry(lambda: measure_stencil_chains(n, iters))
 
     bytes_per_point = 8.0  # unfused f32 read + write per node per apply
     roofline_nnz_s = device_bandwidth() / bytes_per_point * (nnz / (n * n))
@@ -429,35 +502,77 @@ def main() -> None:
         "fused_group": FUSE,
     }
 
-    # Secondary metrics never kill the bench (per-metric try) and respect a
-    # global wall budget (BENCH_BUDGET_S, default 40 min): with a cold
-    # compile cache the tunnel compiles can cost minutes each, and an
-    # overrun must degrade to "skipped" entries, not a missing JSON line.
+    def emit():
+        # The driver parses the LAST complete JSON line: print + flush the
+        # headline the moment it exists, then re-emit (enriched) after every
+        # extra, so a driver kill mid-extra can never zero the artifact
+        # (round 3's failure mode: one line printed only at the very end,
+        # rc=124 → parsed=null).
+        print(json.dumps({
+            "metric": "stencil_spmv_nnz_per_s",
+            "value": fused,
+            "unit": "nnz/s",
+            "vs_baseline": fused / baseline,
+            "extra": extra,
+        }), flush=True)
+
+    emit()
+
+    # Secondary metrics never kill the bench (per-metric try + SIGALRM wall
+    # cap) and respect a global wall budget: an overrun degrades to
+    # "skipped" entries in the last emitted line, not a missing artifact.
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    extra_cap_s = float(os.environ.get("BENCH_EXTRA_CAP_S", "300"))
 
     def run_extra(label, fn):
-        if time.perf_counter() - t_start > budget_s:
+        left = budget_s - (time.perf_counter() - t_start)
+        if left <= 10.0:
             extra[label + "_skipped"] = "wall budget exhausted"
+            emit()
             return None
+        t0 = time.perf_counter()
         try:
-            return _retry(fn)
-        except Exception as e:
+            with _deadline(min(extra_cap_s, left)):
+                out = _retry(fn)
+        except BaseException as e:  # _ExtraDeadline included
             extra[label + "_error"] = str(e)[:200]
-            return None
+            out = None
+        extra["t_" + label + "_s"] = round(time.perf_counter() - t0, 1)
+        return out
 
-    v = run_extra("ell_spmv", measure_ell_spmv)
-    if v is not None:
-        extra["ell_spmv_pallas_nnz_per_s"] = v
-    v = run_extra("ell_spmm", measure_ell_spmm)
-    if v is not None:
-        extra["ell_spmm_nvec4_effective_nnz_per_s"] = v
+    # Ordered by evidentiary value: the BASELINE wall-time metrics first,
+    # raw-throughput accounting after.
     v = run_extra("vcycle", measure_vcycle_ff32)
     if v is not None:
         ms, iters_v, rel = v
         extra["vcycle_1025_ff32_to_1e8_ms"] = ms
         extra["vcycle_1025_ff32_iters"] = iters_v
         extra["vcycle_1025_ff32_rel_residual"] = rel
+    emit()
+    v = run_extra("amg_fd", lambda: measure_amg_fd(1024))
+    if v is not None:
+        extra.update(v)
+    emit()
+    v = run_extra("amg_mesh", measure_amg_mesh)
+    if v is not None:
+        extra.update(v)
+    emit()
+    v = run_extra("vcycle3d", measure_vcycle3d)
+    if v is not None:
+        ms, iters_v, rel = v
+        extra["vcycle3d_257_bf16_ff32_to_1e8_ms"] = ms
+        extra["vcycle3d_257_iters"] = iters_v
+        extra["vcycle3d_257_rel_residual"] = rel
+    emit()
+    v = run_extra("ell_spmv", measure_ell_spmv)
+    if v is not None:
+        extra["ell_spmv_pallas_nnz_per_s"] = v
+    emit()
+    v = run_extra("stencil3d", measure_stencil3d)
+    if v is not None:
+        extra["stencil3d_256_apply_nnz_per_s"] = v
+    emit()
     v = run_extra("stream_ceiling", measure_stream_ceiling)
     if v is not None:
         extra["measured_stream_gbs"] = v
@@ -465,33 +580,25 @@ def main() -> None:
         # (the nominal-bandwidth bar is not achievable by any streaming op)
         extra["single_apply_vs_measured_sol"] = (
             single / (v * 1e9 / bytes_per_point * (nnz / (n * n))))
-    v = run_extra("spmv_16m", measure_spmv_16m)
-    if v is not None:
-        extra["ell_spmv_16m_rows_nnz_per_s"] = v
-    v = run_extra("stencil3d", measure_stencil3d)
-    if v is not None:
-        extra["stencil3d_256_apply_nnz_per_s"] = v
+    emit()
     v = run_extra("sharded1", measure_sharded_on_one)
     if v is not None:
         sh_ms, un_ms = v
         extra["sharded1_vcycle_2048_ms"] = sh_ms
         extra["unsharded_vcycle_2048_ms"] = un_ms
         extra["sharded1_overhead_ratio"] = sh_ms / un_ms
-    v = run_extra("amg_fd", lambda: measure_amg_fd(1024))
+        # 1-device mesh: this measures shard_map dispatch overhead, not
+        # halo-exchange cost (no second chip exists in this sandbox).
+        extra["sharded1_note"] = "overhead-only (1-device mesh)"
+    emit()
+    v = run_extra("ell_spmm", measure_ell_spmm)
     if v is not None:
-        extra.update(v)
-
-    print(
-        json.dumps(
-            {
-                "metric": "stencil_spmv_nnz_per_s",
-                "value": fused,
-                "unit": "nnz/s",
-                "vs_baseline": fused / baseline,
-                "extra": extra,
-            }
-        )
-    )
+        extra["ell_spmm_nvec4_effective_nnz_per_s"] = v
+    emit()
+    v = run_extra("spmv_16m", measure_spmv_16m)
+    if v is not None:
+        extra["ell_spmv_16m_rows_nnz_per_s"] = v
+    emit()
 
 
 if __name__ == "__main__":

@@ -12,7 +12,7 @@ Two modes:
   ``benchmarks/run.py`` config5 at a configurable rows-per-device
   (``--rows-per-dev``, default 512 -> n = 4096 at P = 8, 84M nnz).
 
-Writes/updates ``benchmarks/SCALING_r03.json`` (one JSON object per mode).
+Writes/updates ``benchmarks/SCALING_r04.json`` (one JSON object per mode).
 
 Usage:
     python -m benchmarks.scale_bench --single
@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-OUT = os.path.join(os.path.dirname(__file__), "SCALING_r03.json")
+OUT = os.path.join(os.path.dirname(__file__), "SCALING_r04.json")
 
 
 def _fence(x):
@@ -167,10 +167,13 @@ def main(argv=None) -> None:
     if os.path.exists(OUT):
         with open(OUT) as f:
             data = json.load(f)
-    if args.sweep:
-        data["virtual_sweep"] = sweep(args.rows_per_dev)
+    # single_chip FIRST: sweep() force-switches jax to 8 virtual CPU
+    # devices, which would run (or break) the 'single-chip TPU' benchmark
+    # on CPU if it came second (ADVICE r3)
     if args.single:
         data["single_chip"] = single_chip()
+    if args.sweep:
+        data["virtual_sweep"] = sweep(args.rows_per_dev)
     with open(OUT, "w") as f:
         json.dump(data, f, indent=2)
     print(json.dumps(data))

@@ -70,13 +70,22 @@ class AMGSolveResult(tuple):
     ``SolveResult.history`` / the reference's ``MGGS4.txt`` artifact
     (``GeometricMultigrid/src/main.cpp:74,87,127``; the reference's AMG
     prints residuals but never records them, ``AMG/src/AMG.cpp:256-275``).
+
+    ``history_truncated`` is True when the solve ran past the fixed
+    ``HIST_CAP`` in-jit buffer (tol/maxit are traced, so the buffer cannot
+    size itself off maxit): the final entries collapse into the last slot
+    and per-iteration convergence factors computed from ``history`` are
+    unreliable past the cap.
     """
 
     history: np.ndarray
+    history_truncated: bool
 
-    def __new__(cls, x, iterations: int, rel_residual: float, history):
+    def __new__(cls, x, iterations: int, rel_residual: float, history,
+                history_truncated: bool = False):
         self = super().__new__(cls, (x, iterations, rel_residual))
         self.history = np.asarray(history)
+        self.history_truncated = bool(history_truncated)
         return self
 
     @property
@@ -259,16 +268,25 @@ def build_prolongation(
 
 def smooth_prolongation(A: HostCSR, P: HostCSR, lmax: float,
                         omega_factor: float = 4.0 / 3.0,
-                        drop_tol: float = 0.02) -> HostCSR:
+                        drop_tol: float = 0.02,
+                        coarse_rows: np.ndarray | None = None) -> HostCSR:
     """Jacobi-smoothed interpolation ``P_s = (I - omega D^{-1} A) P``.
 
     The standard smoothed-aggregation upgrade applied to the classical
     direct-interpolation P: one damped-Jacobi application of the fine
     operator smooths the interpolation basis, which repairs the weak
     two-level rate of pure direct weights (measured on the 512^2 FD
-    Poisson system with PMIS + Chebyshev(3): rho/cycle 0.88 -> ~0.2;
-    out-of-the-box V-cycle iterations to 1e-5: 100+ -> ~15).
+    Poisson system with PMIS + Chebyshev(3): rho/cycle 0.88 with direct
+    weights -> 0.113 smoothed; 10 V-cycles to 1e-10).
     ``omega = omega_factor / lmax(D^{-1} A)`` (4/3 is the SA classic).
+
+    With ``coarse_rows`` given (the solver always passes it), smoothing
+    applies to F-rows only — Jacobi-smoothed *classical* interpolation:
+    C-rows keep their exact identity entry, so no column can be emptied
+    and singular Galerkin operators cannot arise (see
+    :func:`_inv_diag_guarded`).  Measured: F-row-only smoothing also
+    *improves* the cycle (less Galerkin fill, faster coarsening,
+    coarse-level condition numbers 1e22 -> 7e1 on the 512^2 chain).
 
     The reference's AMG has no analog (its interpolation is direct-only,
     ``AMG/include/AMG.hpp:230-300``); construction beyond the reference,
@@ -277,14 +295,23 @@ def smooth_prolongation(A: HostCSR, P: HostCSR, lmax: float,
     row-wise filtering, the standard SA practice).
     """
     omega = omega_factor / float(lmax)
-    d = A.diagonal()
-    d = np.where(d == 0, 1.0, d)
+    inv_d = _inv_diag_guarded(A)  # weak-diagonal rows smooth as identity
+    if coarse_rows is not None:
+        # Jacobi-smoothed CLASSICAL interpolation smooths F-rows only:
+        # every C-row keeps its exact identity entry, so no P column can
+        # ever be emptied (by smoothing or by the drop filter) — an empty
+        # column is an exactly singular Galerkin coarse operator.
+        inv_d = inv_d.copy()
+        inv_d[np.asarray(coarse_rows)] = 0.0
     AP = A.matmul(P)
     rows_ap = np.repeat(np.arange(AP.shape[0]), AP.row_lengths)
-    vals_ap = (-omega / d[rows_ap]) * AP.data
+    vals_ap = (-omega * inv_d[rows_ap]) * AP.data
+    nz_ap = vals_ap != 0.0
+    rows_ap, vals_ap = rows_ap[nz_ap], vals_ap[nz_ap]
+    AP_indices = AP.indices[nz_ap]
     rows_p = np.repeat(np.arange(P.shape[0]), P.row_lengths)
     rows = np.concatenate([rows_p, rows_ap])
-    cols = np.concatenate([P.indices, AP.indices])
+    cols = np.concatenate([P.indices, AP_indices])
     vals = np.concatenate([P.data, vals_ap])
     Ps = HostCSR.from_coo(rows, cols, vals, P.shape)
     if drop_tol > 0 and Ps.nnz:
@@ -456,17 +483,41 @@ def chebyshev_smooth(level: AMGLevel, x: jax.Array, b: jax.Array,
     return x
 
 
-def _estimate_lmax(A: HostCSR, iters: int = 25, seed: int = 7) -> float:
-    """Power iteration on ``D^{-1} A`` (host, setup-time)."""
+def _inv_diag_guarded(A: HostCSR) -> np.ndarray:
+    """``1/diag(A)`` with entries zeroed where the diagonal is pathologically
+    small relative to the row magnitude (``|d_i| <= 0.1 max_j |a_ij|``).
+
+    Galerkin coarse operators of smoothed-P hierarchies are not M-matrices;
+    a near-zero diagonal does occur in practice (512^2 FD chain, level 2:
+    d = 6.9e-3 against off-diagonals ~15).  An unguarded ``omega/d`` there
+    blows the smoothed-P row up to ~1e5, the drop filter then removes the
+    row's own coarse entry, and the column vanishes — planting an exactly
+    empty row (singular coarse operator) two levels down.  Zeroing the
+    inverse for such rows makes every D^{-1}-based operation treat them as
+    unsmoothed, which is always safe.
+    """
     n = A.shape[0]
     d = A.diagonal()
-    d = np.where(d == 0, 1.0, d)
+    rows = np.repeat(np.arange(n), A.row_lengths)
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, rows, np.abs(A.data))
+    # 0.1: Jacobi smoothing assumes rough diagonal dominance; rows far
+    # from it (the observed pathological case: d/row_max = 4.5e-4) turn
+    # omega*D^{-1} into an amplifier, not a smoother
+    weak = np.abs(d) <= 0.1 * row_max
+    return np.where(weak, 0.0, 1.0 / np.where(d == 0.0, 1.0, d))
+
+
+def _estimate_lmax(A: HostCSR, iters: int = 25, seed: int = 7) -> float:
+    """Power iteration on ``D^{-1} A`` (host, setup-time; guarded D)."""
+    n = A.shape[0]
+    inv_d = _inv_diag_guarded(A)
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(n)
     v /= np.linalg.norm(v)
     lam = 1.0
     for _ in range(iters):
-        w = A.spmv(v) / d
+        w = A.spmv(v) * inv_d
         nw = np.linalg.norm(w)
         if nw == 0:
             return 1.0
@@ -556,7 +607,8 @@ class AMGSolver:
                 break
             P = build_prolongation(cur, labels, theta)
             if interp == "smoothed":
-                P = smooth_prolongation(cur, P, _estimate_lmax(cur))
+                P = smooth_prolongation(cur, P, _estimate_lmax(cur),
+                                        coarse_rows=np.flatnonzero(labels == 1))
             cur = rap(P, cur)
             self.host_P.append(P)
             self.host_matrices.append(cur)
@@ -598,9 +650,15 @@ class AMGSolver:
         # dense coarsest-operator INVERSE for the direct bottom solve: one
         # MXU matmul per cycle instead of an LU factorization per visit
         # (inverted once on the host in f64)
-        self._coarse_dense = to_device(
-            np.linalg.inv(self.host_matrices[-1].to_dense()), dtype
-        )
+        bottom = self.host_matrices[-1].to_dense()
+        try:
+            inv_bottom = np.linalg.inv(bottom)
+        except np.linalg.LinAlgError:
+            # a (numerically) singular bottom operator must not kill setup;
+            # the pseudo-inverse solves the consistent part and the outer
+            # cycle corrects the rest
+            inv_bottom = np.linalg.pinv(bottom)
+        self._coarse_dense = to_device(inv_bottom, dtype)
         # Level data is passed as pytree ARGUMENTS, never closed over:
         # closure capture would bake O(nnz) arrays into the executable as
         # constants (bloating it, defeating buffer sharing, and shipping
@@ -610,7 +668,7 @@ class AMGSolver:
         # tol/maxit are traced (dynamic) so changing them never recompiles
         # the V-cycle chain.
         self._jit_solve = jax.jit(self._solve_impl)
-        self._jit_pcg = jax.jit(self._pcg_impl, static_argnames=("maxit",))
+        self._jit_pcg = jax.jit(self._pcg_impl)
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -691,11 +749,13 @@ class AMGSolver:
         from multigrid_prj_tpu.ops.krylov import cg_arrays
 
         lvl0 = levels[0]
+        # maxit is TRACED (hist_cap sizes the buffer) so distinct maxit
+        # values share one executable — consistent with solve/solve_refined
         return cg_arrays(
             lambda v: apply_A(lvl0, v), b, x0=x0, tol=tol, maxit=maxit,
             M=lambda r: self._vcycle_impl(levels, coarse_dense,
                                           jnp.zeros_like(r), r),
-            history=True,
+            history=True, hist_cap=HIST_CAP,
         )
 
 
@@ -731,7 +791,8 @@ class AMGSolver:
         )
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
-                              np.asarray(hist)[: min(k, HIST_CAP) + 1])
+                              np.asarray(hist)[: min(k, HIST_CAP) + 1],
+                              history_truncated=k >= HIST_CAP)
 
     def solve_refined(self, b, tol: float = 1e-10, maxit: int = 100):
         """Iterative refinement with ff32 extended-precision residuals.
@@ -767,7 +828,16 @@ class AMGSolver:
                                      interpret=self._pallas_interpret,
                                      pair=True)
                 if pf is not None and not pf.windowed and not pf.compact:
-                    self._ell_pair_fast = pf
+                    # probe-compile once: build()'s pair-mode VMEM budget is
+                    # conservative, but a Mosaic VMEM overflow here must
+                    # degrade to the gather path, not fail the solve
+                    try:
+                        z = jnp.zeros(self.host_matrices[0].shape[0],
+                                      jnp.float32)
+                        jax.block_until_ready(pf.residual_ff(z, z, z, z))
+                        self._ell_pair_fast = pf
+                    except Exception:
+                        self._ell_pair_fast = None
             self._ell_pair = ELLPair.from_host_csr(self.host_matrices[0])
         A2 = self._ell_pair
         A2f = self._ell_pair_fast
@@ -831,7 +901,8 @@ class AMGSolver:
         x = np.asarray(x_hi, np.float64) + np.asarray(x_lo, np.float64)
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
-                              np.asarray(hist)[: min(k, HIST_CAP) + 1])
+                              np.asarray(hist)[: min(k, HIST_CAP) + 1],
+                              history_truncated=k >= HIST_CAP)
 
     def solve_pcg(self, b, x0=None, tol: float = 1e-10, maxit: int = 200):
         """AMG-preconditioned conjugate gradients.
@@ -848,11 +919,12 @@ class AMGSolver:
             x0 = jnp.asarray(self._perm_in(x0), dtype=self.dtype)
         x, k, rel, hist = self._jit_pcg(
             *self._args(), b, x0, jnp.asarray(tol, self.dtype),
-            maxit=int(maxit),
+            jnp.asarray(maxit, jnp.int32),
         )
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
-                              np.asarray(hist)[: k + 1])
+                              np.asarray(hist)[: min(k, HIST_CAP) + 1],
+                              history_truncated=k >= HIST_CAP)
 
     # -- reference-compat sawtooth pass --------------------------------------
 

@@ -64,7 +64,8 @@ def bicgstab(
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     r0 = b - A(x0)
     rhat = r0
-    hist0 = jnp.full((maxit + 1,) if history else (1,), jnp.nan, b.dtype)
+    hist_len = (hist_cap if hist_cap is not None else maxit) + 1
+    hist0 = jnp.full((hist_len,) if history else (1,), jnp.nan, b.dtype)
     hist0 = hist0.at[0].set(jnp.sqrt(_dot(r0, r0).real) / bnorm)
 
     def cond(st):
@@ -92,7 +93,8 @@ def bicgstab(
         r = s - omega * t
         ok = (jnp.abs(rho1) > eps) & (jnp.abs(omega) > eps)
         if history:
-            hist = hist.at[k + 1].set(jnp.sqrt(_dot(r, r).real) / bnorm)
+            idx = k + 1 if hist_cap is None else jnp.minimum(k + 1, hist_cap)
+            hist = hist.at[idx].set(jnp.sqrt(_dot(r, r).real) / bnorm)
         return x, r, p, v, rho1, alpha, omega, k + 1, ok, hist
 
     one = jnp.asarray(1.0, dtype=b.dtype)
@@ -141,6 +143,7 @@ def cg_arrays(
     maxit: int = 100,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     history: bool = False,
+    hist_cap: Optional[int] = None,
 ) -> tuple:
     """Jit-friendly CG core: returns ``(x, k, rel, hist)`` as arrays.
 
@@ -148,6 +151,12 @@ def cg_arrays(
     arguments so it is not baked into the executable as constants —
     ``AMGSolver.solve_pcg``) use this; :func:`cg` wraps it into a
     :class:`KrylovResult` on the host.
+
+    ``hist_cap``: static history-buffer length.  When set, ``maxit`` may be
+    a TRACED scalar (no recompile per distinct maxit); history writes past
+    the cap clamp into the last slot (callers surface this as
+    ``history_truncated``).  When None, ``maxit`` must be static and the
+    buffer holds every iteration.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -157,7 +166,8 @@ def cg_arrays(
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     r0 = b - A(x0)
     z0 = M(r0)
-    hist0 = jnp.full((maxit + 1,) if history else (1,), jnp.nan, b.dtype)
+    hist_len = (hist_cap if hist_cap is not None else maxit) + 1
+    hist0 = jnp.full((hist_len,) if history else (1,), jnp.nan, b.dtype)
     hist0 = hist0.at[0].set(jnp.sqrt(_dot(r0, r0).real) / bnorm)
 
     def cond(st):
@@ -175,7 +185,8 @@ def cg_arrays(
         rz1 = _dot(r, z)
         p = z + (rz1 / rz) * p
         if history:
-            hist = hist.at[k + 1].set(jnp.sqrt(_dot(r, r).real) / bnorm)
+            idx = k + 1 if hist_cap is None else jnp.minimum(k + 1, hist_cap)
+            hist = hist.at[idx].set(jnp.sqrt(_dot(r, r).real) / bnorm)
         return x, r, z, p, rz1, k + 1, hist
 
     state = (x0, r0, z0, z0, _dot(r0, z0), jnp.int32(0), hist0)

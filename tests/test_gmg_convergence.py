@@ -30,10 +30,13 @@ def test_sawtooth_converges_like_reference(test):
     out = solver.solve(b)
     assert out.converged
     assert out.iterations <= 15, f"took {out.iterations} iterations"
-    # asymptotic reduction factor from the interior of the history
+    # asymptotic reduction factor from the interior of the history; the
+    # reference measures rho ~ 0.09-0.10 (MGGS4.txt, BASELINE.md:12) and
+    # this solver measures 0.062-0.085 across the three test problems —
+    # 0.15 catches any real cycle-quality regression without flaking
     h = np.asarray(out.history)
     rho = (h[-1] / h[1]) ** (1.0 / (len(h) - 2))
-    assert rho <= 0.25, f"rho = {rho}"
+    assert rho <= 0.15, f"rho = {rho}"
 
 
 def test_solution_matches_dense_solve():

@@ -152,3 +152,43 @@ def test_downleg_matches_composition(sweeps):
     rc_want = restrict_fw_padded(r_want, logical)
     np.testing.assert_array_equal(np.asarray(u2), np.asarray(u_want))
     np.testing.assert_array_equal(np.asarray(rc), np.asarray(rc_want))
+
+
+@pytest.mark.parametrize("sweeps", [2, 3])
+def test_downleg_multi_block(sweeps):
+    """Multi-row-block grid (512 rows -> 2 blocks of 256): exercises
+    _rbgs_resfilter_kernel's interior halo-ring accounting (the
+    ``2*sweeps + 2 <= 8`` halo-corruption argument), which the single-block
+    256x256 case above never enters."""
+    from multigrid_prj_tpu.ops.transfer import restrict_fw_padded
+
+    np_rng = np.random.default_rng(11)
+    shape, logical = (512, 256), (401, 193)
+    u = jnp.asarray(np_rng.standard_normal(shape), jnp.float32)
+    b = jnp.asarray(np_rng.standard_normal(shape), jnp.float32)
+    alpha, h = 3.0, 1.0 / (logical[0] - 1)
+    assert ps._pick_block_rows(*shape, 5) == 256  # really 2 blocks
+    with pltpu.force_tpu_interpret_mode():
+        u2, rc = ps.rbgs_residual_restrict(u, b, alpha, h, sweeps, logical)
+        u_want = ps.red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps,
+                                           logical_shape=logical)
+        r_want = ps.poisson_residual(u_want, b, alpha, h, logical)
+    rc_want = restrict_fw_padded(r_want, logical)
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(u_want))
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(rc_want))
+
+
+def test_downleg_wide_grid_falls_back():
+    """Grids whose width admits 3-operand kernels but not the 5-operand
+    down-leg kernel must take the composition fallback instead of raising
+    (ADVICE r3: _pick_block_rows(n, m, 5) returning None)."""
+    n, m = 8, 35840  # 3-operand r=8 fits (~2.3MB*2) but 5-operand doesn't
+    assert ps._is_supported((n, m), jnp.float32)
+    assert ps._pick_block_rows(n, m, 5) is None
+    logical = (7, 35000)
+    np_rng = np.random.default_rng(5)
+    u = jnp.asarray(np_rng.standard_normal((n, m)), jnp.float32)
+    b = jnp.asarray(np_rng.standard_normal((n, m)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        u2, rc = ps.rbgs_residual_restrict(u, b, 1.0, 0.1, 1, logical)
+    assert u2.shape == (n, m) and rc.shape == (n // 2, m // 2)
