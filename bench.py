@@ -483,6 +483,22 @@ def measure_vcycle_ff32(n: int = 1025, tol: float = 1e-8):
     return best * 1e3, int(out.iterations), float(out.history[-1])
 
 
+def measure_dispatch_ms(reps: int = 5) -> float:
+    """Null-dispatch round-trip through the backend (one jitted scale +
+    scalar fetch).  On the tunnel backend this is ~40 ms — a fixed floor
+    under every single-dispatch wall-clock number; reported so the
+    artifact separates on-chip compute from transport latency."""
+    f = jax.jit(lambda x: x * 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    _fence(f(x))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fence(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
 def main() -> None:
     from benchmarks import _cache
 
@@ -543,12 +559,18 @@ def main() -> None:
 
     # Ordered by evidentiary value: the BASELINE wall-time metrics first,
     # raw-throughput accounting after.
+    v = run_extra("dispatch", measure_dispatch_ms)
+    if v is not None:
+        extra["dispatch_roundtrip_ms"] = v
     v = run_extra("vcycle", measure_vcycle_ff32)
     if v is not None:
         ms, iters_v, rel = v
         extra["vcycle_1025_ff32_to_1e8_ms"] = ms
         extra["vcycle_1025_ff32_iters"] = iters_v
         extra["vcycle_1025_ff32_rel_residual"] = rel
+        if "dispatch_roundtrip_ms" in extra:
+            extra["vcycle_1025_ff32_compute_ms"] = (
+                ms - extra["dispatch_roundtrip_ms"])
     emit()
     v = run_extra("amg_fd", lambda: measure_amg_fd(1024))
     if v is not None:
@@ -564,6 +586,9 @@ def main() -> None:
         extra["vcycle3d_257_bf16_ff32_to_1e8_ms"] = ms
         extra["vcycle3d_257_iters"] = iters_v
         extra["vcycle3d_257_rel_residual"] = rel
+        if "dispatch_roundtrip_ms" in extra:
+            extra["vcycle3d_257_compute_ms"] = (
+                ms - extra["dispatch_roundtrip_ms"])
     emit()
     v = run_extra("ell_spmv", measure_ell_spmv)
     if v is not None:

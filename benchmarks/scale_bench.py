@@ -106,6 +106,116 @@ def single_chip() -> dict:
     return rec
 
 
+def _collective_counts(lowered_compiled_text: str) -> dict:
+    """Count collective-op INSTANCES in compiled HLO text (op definitions,
+    not the start/done pairs of async splitting)."""
+    import re
+
+    counts = {}
+    for kind in ("collective-permute", "all-gather", "all-reduce",
+                 "all-to-all"):
+        # " = collective-permute(" and " = collective-permute-start("
+        n = len(re.findall(r"= " + kind + r"(?:-start)?\(",
+                           lowered_compiled_text))
+        counts[kind] = n
+    return counts
+
+
+def _step_hlo(solver, u0, bs) -> str:
+    return solver._jit_step.lower(u0, bs).compile().as_text()
+
+
+def _time_step(solver, u0, bs, reps: int = 3) -> float:
+    solver.step(u0, bs)  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fence(solver.step(u0, bs))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def attribution(rows_per_dev: int) -> dict:
+    """VERDICT r3 item 6: attribute the virtual-sweep weak-scaling gap.
+
+    On the 8-virtual-CPU mesh: (a) collective-op counts per V-cycle from
+    the compiled HLO, grouped wide-halo schedule vs the per-color-exchange
+    baseline; (b) wall time of both; (c) microbenched cost of one halo
+    ppermute pair / one psum on this mesh, giving an estimated collective
+    share of the cycle.  CPU collectives are emulated through host memcpy
+    — the *counts* are the hardware-transferable result, the seconds are
+    sandbox-local.
+    """
+    import jax
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from multigrid_prj_tpu.models.poisson import assemble_rhs
+    from multigrid_prj_tpu.parallel.sharded_gmg import ShardedGMGSolver
+
+    devs = jax.devices()
+    p = len(devs)
+    n = rows_per_dev * p
+    mesh = Mesh(np.array(devs), ("x",))
+    rec = {"mode": "attribution", "devices": p, "n": n}
+
+    variants = {}
+    for name, grouped in (("grouped", True), ("per_color", False)):
+        solver = ShardedGMGSolver(shape=(n, n), mesh=mesh, num_levels=5,
+                                  nu1=2, nu2=2, maxit=2, tol=0.0,
+                                  use_grouped=grouped)
+        b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
+        bs = jax.device_put(b, solver.sharding)
+        u0 = jax.device_put(jnp.zeros_like(b), solver.sharding)
+        counts = _collective_counts(_step_hlo(solver, u0, bs))
+        variants[name] = {
+            "collectives_per_cycle": counts,
+            "cycle_s": _time_step(solver, u0, bs),
+            "num_sharded_levels": solver.num_sharded,
+        }
+    rec["variants"] = variants
+
+    # microbench: one w=6 halo ppermute pair and one scalar psum
+    from multigrid_prj_tpu.parallel.sharded_gmg import (
+        _halo_slabs,
+        norm2_psum,
+    )
+
+    spec = P("x", None)
+    sh = NamedSharding(mesh, spec)
+    x = jax.device_put(jnp.ones((n, n), jnp.float32), sh)
+
+    def k_exchanges(x, k=32):
+        def body(_, v):
+            t, bt = _halo_slabs(v, ("x",), 6)
+            return v + 1e-9 * (jnp.sum(t) + jnp.sum(bt))
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    def k_psums(x, k=32):
+        def body(_, v):
+            return v + 1e-12 * norm2_psum(v[:1, :1], ("x",))
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    for label, fn in (("halo_pair", k_exchanges), ("psum", k_psums)):
+        f = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(spec,),
+                                  out_specs=spec))
+        _fence(f(x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _fence(f(x))
+            best = min(best, time.perf_counter() - t0)
+        rec[label + "_cost_s"] = best / 32
+    cp = variants["grouped"]["collectives_per_cycle"]["collective-permute"]
+    rec["est_collective_share"] = min(1.0, (cp / 2)
+                                      * rec["halo_pair_cost_s"]
+                                      / variants["grouped"]["cycle_s"])
+    return rec
+
+
 def sweep(rows_per_dev: int) -> dict:
     import jax
 
@@ -134,12 +244,7 @@ def sweep(rows_per_dev: int) -> dict:
         b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
         bs = jax.device_put(b, solver.sharding)
         u0 = jax.device_put(jnp.zeros_like(b), solver.sharding)
-        solver.step(u0, bs)  # compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _fence(solver.step(u0, bs))
-            best = min(best, time.perf_counter() - t0)
+        best = _time_step(solver, u0, bs)
         nnz = 5 * n * n
         rec["sweep"].append({
             "devices": p, "n": n, "nnz": nnz, "cycle_s": best,
@@ -150,6 +255,7 @@ def sweep(rows_per_dev: int) -> dict:
         base = rec["sweep"][0]["nnz_per_s_per_device"]
         rec["weak_scaling_efficiency"] = (
             rec["sweep"][-1]["nnz_per_s_per_device"] / base)
+    rec["attribution"] = attribution(rows_per_dev)
     return rec
 
 

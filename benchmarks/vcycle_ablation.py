@@ -31,8 +31,55 @@ def _fence(r):
     return float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0])).ravel()[0])
 
 
-def timed_chain(make_chain, x, few: int, many: int, reps: int = 7):
-    """Median differential seconds per unit between chains of few vs many."""
+_NULL_FLOOR = [None]
+
+
+def _dispatch_floor(reps: int = 9) -> float:
+    """Best-case null dispatch+fetch round trip (the tunnel floor)."""
+    if _NULL_FLOOR[0] is None:
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x * 1.0)
+        x = jnp.zeros((8, 128), jnp.float32)
+        _fence(f(x))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _fence(f(x))
+            best = min(best, time.perf_counter() - t0)
+        _NULL_FLOOR[0] = best
+    return _NULL_FLOOR[0]
+
+
+def _best_wall(g, x, reps):
+    for attempt in range(4):
+        try:
+            _fence(g(x))
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(10)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fence(g(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timed_chain(make_chain, x, few: int, many: int, reps: int = 15):
+    """Median differential seconds per unit between chains of few vs many.
+
+    Interleaved few/many pairs cancel the tunnel's time-correlated
+    congestion (each pair is measured back-to-back); the median over
+    ``reps`` pairs rejects stragglers.  Tiny per-unit phases need long
+    chains — callers scale ``many`` so the differential exceeds ~10 ms.
+    Methodology note recorded in the artifact: single-long-chain and
+    adaptive variants were tried and produced internally inconsistent
+    results on this backend (a full V-cycle measuring less than its own
+    smoother component); the interleaved differential is the stable one.
+    """
     f, g = make_chain(few), make_chain(many)
     for attempt in range(4):
         try:
@@ -95,7 +142,7 @@ def main(argv=None) -> None:
             return jax.lax.fori_loop(0, k, body, u)
         return f
 
-    out["vcycle_ms"] = timed_chain(vchain, jnp.zeros_like(bp), 10, 110) * 1e3
+    out["vcycle_ms"] = timed_chain(vchain, jnp.zeros_like(bp), 10, 210) * 1e3
 
     # ff32 extended residual (one evaluation): XLA chain vs Pallas kernel
     c = alpha / (lev0.h * lev0.h)
@@ -114,7 +161,7 @@ def main(argv=None) -> None:
             return f
 
         out[f"ff_residual_{tag}_ms"] = timed_chain(
-            ffchain, jnp.zeros_like(bp), 10, 110) * 1e3
+            ffchain, jnp.zeros_like(bp), 20, 620) * 1e3
 
     # one full refinement iteration (cycle + accumulate + residual + norm),
     # chained — isolates the while_loop body from dispatch latency
@@ -136,7 +183,7 @@ def main(argv=None) -> None:
         return f
 
     out["refine_iter_ms"] = timed_chain(iterchain, jnp.zeros_like(bp),
-                                        5, 55) * 1e3
+                                        10, 210) * 1e3
 
     # coarse solves: direct dense-inverse matmul vs 100-sweep smoother
     if solver._coarse_inv is not None:
@@ -183,8 +230,11 @@ def main(argv=None) -> None:
                 return jax.lax.fori_loop(0, k, body, u)
             return f
 
+        # deeper levels cost ~us each: scale the chain so the differential
+        # rises above the ~ms tunnel jitter
+        many = 220 if shape[0] >= 640 else 2020
         out[f"smooth2_L{li}_{shape[0]}_ms"] = timed_chain(
-            smchain, u0, 20, 220) * 1e3
+            smchain, u0, 20, many) * 1e3
 
     # fused pallas residual vs XLA residual at level 0
     from multigrid_prj_tpu.ops import stencil as xs
@@ -201,7 +251,7 @@ def main(argv=None) -> None:
             return f
 
         out[f"residual_L0_{tag}_ms"] = timed_chain(
-            rchain, jnp.zeros_like(bp), 10, 110) * 1e3
+            rchain, jnp.zeros_like(bp), 20, 620) * 1e3
 
     # restrict at level 0
     from multigrid_prj_tpu.gmg import restrict_level
@@ -215,13 +265,24 @@ def main(argv=None) -> None:
             return jax.lax.fori_loop(0, k, body, r)
         return f
 
-    out["restrict_L0_ms"] = timed_chain(rschain, jnp.ones_like(bp), 10, 110) * 1e3
+    out["restrict_L0_ms"] = timed_chain(rschain, jnp.ones_like(bp), 20, 620) * 1e3
 
+    # derived on-chip summary: the wall-clock refined solve is dominated by
+    # tunnel round trips (~40 ms dispatch + host fetches); the differential
+    # numbers above are the on-chip truth
+    out["dispatch_floor_ms"] = _dispatch_floor() * 1e3
+    # per-iteration cost bounded below by one V-cycle (the differential
+    # noise floor can undershoot)
+    out["derived_onchip_refined_solve_ms"] = (
+        max(out["refine_iter_ms"], out["vcycle_ms"]) * out["refined_iters"])
+    out["note"] = ("refined_solve_ms is WALL time through the remote-dispatch "
+                   "tunnel; *_ms differential entries cancel dispatch and "
+                   "measure on-chip compute")
     print(json.dumps(out, indent=2))
     import os
 
     art = os.path.join(os.path.dirname(__file__),
-                       f"VCYCLE_ABLATION_r03_{n}.json")
+                       f"VCYCLE_ABLATION_r04_{n}.json")
     with open(art, "w") as f:
         json.dump(out, f, indent=2)
 

@@ -789,6 +789,7 @@ class AMGSolver:
             *self._args(), x0, b, jnp.asarray(tol, dtype=self.dtype),
             jnp.asarray(maxit, jnp.int32)
         )
+        k, rel, hist = jax.device_get((k, rel, hist))  # one round trip
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
                               np.asarray(hist)[: min(k, HIST_CAP) + 1],
@@ -898,6 +899,8 @@ class AMGSolver:
             *self._args(), A2, A2f, b_hi, b_lo, jnp.asarray(tol, f32),
             jnp.asarray(maxit, jnp.int32)
         )
+        x_hi, x_lo, k, rel, hist = jax.device_get(
+            (x_hi, x_lo, k, rel, hist))  # one round trip
         x = np.asarray(x_hi, np.float64) + np.asarray(x_lo, np.float64)
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
@@ -921,6 +924,7 @@ class AMGSolver:
             *self._args(), b, x0, jnp.asarray(tol, self.dtype),
             jnp.asarray(maxit, jnp.int32),
         )
+        k, rel, hist = jax.device_get((k, rel, hist))  # one round trip
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
                               np.asarray(hist)[: min(k, HIST_CAP) + 1],

@@ -587,8 +587,13 @@ class GMGSolver:
         if not hasattr(self, "_jit_solve_ff"):
             self._jit_solve_ff = jax.jit(self._solve_impl_ff)
         u, k, hist = self._jit_solve_ff(b, self._coarse_inv)
+        # one batched host fetch for the control outputs: separate int(k) /
+        # hist[-1] fetches cost a ~10-40 ms tunnel round trip EACH, several
+        # times the 9-iteration solve's ~2 ms of on-chip compute
+        # (benchmarks/vcycle_ablation.py); u stays on device
+        k, hist_np = jax.device_get((k, hist))
         k = int(k)
-        hist_np = hist[: k + 1]
+        hist_np = hist_np[: k + 1]
         return SolveResult(u=u, history=hist_np, iterations=k,
                            converged=bool(hist_np[-1] <= self.tol))
 
@@ -617,8 +622,9 @@ class GMGSolver:
             u0 = jnp.zeros_like(b)
         # padding/cropping happens inside the jitted solve (one dispatch)
         u, k, hist = self._jit_solve(u0, b, self._coarse_inv)
+        k, hist_np = jax.device_get((k, hist))  # one round trip (see solve_refined)
         k = int(k)
-        hist_np = hist[: k + 1]
+        hist_np = hist_np[: k + 1]
         return SolveResult(
             u=u,
             history=hist_np,

@@ -80,6 +80,22 @@ _MAX_X_VMEM = 8 * 1024 * 1024  # VMEM-resident x mode above this falls back
 _MAX_T_WIN = 32  # per-lane-tile window cap in x-tiles (VPU cost ~ t_win)
 
 
+@functools.lru_cache(maxsize=512)
+def _cached_kernel(fn, kv):
+    return functools.partial(fn, **dict(kv))
+
+
+def _kp(fn, **kw):
+    """Memoized ``functools.partial`` for kernel bodies: pallas caches
+    kernel traces per FUNCTION OBJECT (``weakref_lru_cache`` keyed on
+    identity), so a fresh partial per call site re-traces the (up to
+    ~10k-op, unrolled) kernel every time — the dominant cost of tracing a
+    deep AMG/GMG cycle.  Reusing the partial for identical static params
+    makes repeated instantiations cache hits."""
+    return _cached_kernel(fn, tuple(sorted(kw.items())))
+
+
+
 def _gather_tile(win, idx, k, t_win, dtype):
     """Lane-gather a (k, 128) tile from a ``(>= t_win, 128)`` window.
 
@@ -517,7 +533,7 @@ class PallasELL:
                 out_specs=pl.BlockSpec((nlt, _LANE), lambda i, t2: (i, 0)),
             )
             return pl.pallas_call(
-                functools.partial(_spmv_compact_kernel, k=k_pad, r=r,
+                _kp(_spmv_compact_kernel, k=k_pad, r=r,
                                   u_max=self.u_max),
                 out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
                                                self.valsT.dtype),
@@ -544,7 +560,7 @@ class PallasELL:
                                            self.valsT.dtype)],
             )
             return pl.pallas_call(
-                functools.partial(_spmv_windowed_kernel, k=k_pad, r=r,
+                _kp(_spmv_windowed_kernel, k=k_pad, r=r,
                                   t_win=self.t_win, tw_slice=tw_slice),
                 out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
                                                self.valsT.dtype),
@@ -598,7 +614,7 @@ class PallasELL:
             out_specs=pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
         )
         out = pl.pallas_call(
-            functools.partial(_ffres_kernel, k=k_pad, r=r, t_win=self.t_win,
+            _kp(_ffres_kernel, k=k_pad, r=r, t_win=self.t_win,
                               tw_slice=tw_slice),
             out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
                                            self.valsT.dtype),

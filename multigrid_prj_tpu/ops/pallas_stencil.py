@@ -35,6 +35,23 @@ from jax.experimental.pallas import tpu as pltpu
 from multigrid_prj_tpu.ops import stencil as _xla
 
 _LANE = 128
+
+
+@functools.lru_cache(maxsize=512)
+def _cached_kernel(fn, kv):
+    return functools.partial(fn, **dict(kv))
+
+
+def _kp(fn, **kw):
+    """Memoized ``functools.partial`` for kernel bodies: pallas caches
+    kernel traces per FUNCTION OBJECT (``weakref_lru_cache`` keyed on
+    identity), so a fresh partial per call site re-traces the (up to
+    ~10k-op, unrolled) kernel every time — the dominant cost of tracing a
+    deep AMG/GMG cycle.  Reusing the partial for identical static params
+    makes repeated instantiations cache hits."""
+    return _cached_kernel(fn, tuple(sorted(kw.items())))
+
+
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
 
 
@@ -322,7 +339,7 @@ def rbgs_residual_restrict(u, b, alpha, h, sweeps, logical_shape):
     nl, ml = int(logical_shape[0]), int(logical_shape[1])
     center, north, south = _edge_specs(n, m, r_blk)
     u2, F = pl.pallas_call(
-        functools.partial(_rbgs_resfilter_kernel, c=c, m=m, r=r_blk, nl=nl,
+        _kp(_rbgs_resfilter_kernel, c=c, m=m, r=r_blk, nl=nl,
                           ml=ml, sweeps=sweeps),
         out_shape=(jax.ShapeDtypeStruct((n, m), u.dtype),
                    jax.ShapeDtypeStruct((n, m), u.dtype)),
@@ -399,7 +416,7 @@ def ff_poisson_residual(u_hi, u_lo, d_hi, d_lo, b, alpha: float, h: float,
         if logical_shape is not None else (n, m)
     center, north, south = _edge_specs(n, m, r)
     return pl.pallas_call(
-        functools.partial(_ff_residual_kernel, c=c, m=m, r=r, nl=nl, ml=ml),
+        _kp(_ff_residual_kernel, c=c, m=m, r=r, nl=nl, ml=ml),
         out_shape=jax.ShapeDtypeStruct((n, m), u_hi.dtype),
         grid=(n // r,),
         in_specs=[center, north, south, center, north, south,
@@ -556,7 +573,7 @@ def _call(kernel, u, extra_inputs, n, m, r, logical_shape=None, dst=None, **kw):
     in_specs = [center, north, south] + [center] * len(extra_inputs)
     flops = 6 * n * m
     bytes_accessed = (2 + len(extra_inputs)) * 4 * n * m
-    body = functools.partial(kernel, m=m, r=r, nl=nl, ml=ml, **kw)
+    body = _kp(kernel, m=m, r=r, nl=nl, ml=ml, **kw)
     inputs = (u, u, u, *extra_inputs)
     alias = {}
     if dst is not None:
@@ -596,7 +613,7 @@ def _call_carry(kernel, u, n, m, r, logical_shape=None, dst=None, **kw):
                              memory_space=pltpu.VMEM)]
     out_spec = pl.BlockSpec((r, m), lambda i: (jnp.maximum(i - 1, 0), 0),
                             memory_space=pltpu.VMEM)
-    body = functools.partial(kernel, m=m, r=r, nl=nl, ml=ml, nb=nb, **kw)
+    body = _kp(kernel, m=m, r=r, nl=nl, ml=ml, nb=nb, **kw)
     inputs = (u,)
     alias = {}
     if dst is not None:
@@ -673,7 +690,7 @@ def _call_fused(kernel, u, b, n, m, r, sweeps, logical_shape=None, dst=None,
         if logical_shape is not None else (n, m)
     center, north, south = _edge_specs(n, m, r)
     in_specs = [center, north, south, center, north, south]
-    body = functools.partial(kernel, m=m, r=r, nl=nl, ml=ml, sweeps=sweeps,
+    body = _kp(kernel, m=m, r=r, nl=nl, ml=ml, sweeps=sweeps,
                              **kw)
     inputs = (u, u, u, b, b, b)
     alias = {}
@@ -758,7 +775,7 @@ def rbgs_fused_extended(ue: jax.Array, be: jax.Array, row0, logical_shape,
     # (check_vma requires it to be spelled out on the out_shape)
     vma = getattr(jax.typeof(ue), "vma", frozenset())
     out = pl.pallas_call(
-        functools.partial(_rbgs_fused_offset_kernel, c=c, m=m, r=r, nl=nl,
+        _kp(_rbgs_fused_offset_kernel, c=c, m=m, r=r, nl=nl,
                           ml=ml, sweeps=sweeps),
         out_shape=jax.ShapeDtypeStruct((ne_pad, m), ue.dtype, vma=vma),
         grid_spec=grid_spec,

@@ -41,6 +41,21 @@ from jax.experimental.pallas import tpu as pltpu
 from multigrid_prj_tpu.ops import stencil as _xla
 
 _LANE = 128
+
+
+@functools.lru_cache(maxsize=512)
+def _cached_kernel(fn, kv):
+    return functools.partial(fn, **dict(kv))
+
+
+def _kp(fn, **kw):
+    """Memoized ``functools.partial`` for kernel bodies: pallas caches
+    kernel traces per FUNCTION OBJECT (``weakref_lru_cache`` keyed on
+    identity), so a fresh partial per call site re-traces the (up to
+    ~10k-op, unrolled) kernel every time — the dominant cost of tracing a
+    deep AMG/GMG cycle.  Reusing the partial for identical static params
+    makes repeated instantiations cache hits."""
+    return _cached_kernel(fn, tuple(sorted(kw.items())))
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -165,7 +180,7 @@ def _call3d(kernel, u, extra_inputs, logical_shape, **kw):
     extras2 = tuple(e.reshape(nz * ny, nx) for e in extra_inputs)
     center, north, south, z_up, z_dn = _specs3d(nz * ny, nx, r, ny)
     in_specs = [center, north, south, z_up, z_dn] + [center] * len(extras2)
-    body = functools.partial(kernel, nx=nx, r=r, ny=ny, nzl=int(nzl),
+    body = _kp(kernel, nx=nx, r=r, ny=ny, nzl=int(nzl),
                              nyl=int(nyl), nxl=int(nxl), **kw)
     out = pl.pallas_call(
         body,

@@ -332,7 +332,11 @@ class ShardedAMGSolver:
             if interp == "smoothed":
                 from multigrid_prj_tpu.amg import smooth_prolongation
 
-                Pm = smooth_prolongation(cur, Pm, _estimate_lmax(cur))
+                # F-rows only, exactly as AMGSolver (identical hierarchy =>
+                # identical iteration counts; see smooth_prolongation)
+                Pm = smooth_prolongation(
+                    cur, Pm, _estimate_lmax(cur),
+                    coarse_rows=np.flatnonzero(labels == 1))
             cur = rap(Pm, cur)
             self.host_P.append(Pm)
             self.host_matrices.append(cur)

@@ -263,12 +263,161 @@ def rbgs_local(u, b, alpha, h, global_shape, axes, sweeps: int = 1,
     return lax.fori_loop(0, sweeps, lambda _, v: one_sweep(v), u)
 
 
-def restrict_fw_local(r, global_shape, axes):
-    """Full-weighting restriction of a leading-axis shard (R slabs -> R/2);
+# ---------------------------------------------------------------------------
+# Wide-halo grouped sweeps: ONE halo exchange per sweep group (+ fused
+# residual/restrict), the XLA analog of :func:`rbgs_local_pallas`.
+#
+# rbgs_local exchanges halos per COLOR pass (4 ppermutes per sweep on a 1D
+# mesh) and residual/restrict re-exchange twice more — 12 ppermute ops per
+# down-leg at nu=2.  Here one exchange ships ``w = 2*sweeps + 2`` slabs of u
+# (plus b's, reused across groups), the sweeps run collective-free on the
+# extended block (outer rows go stale by one slab per color pass — the
+# center stays EXACT while ``2*sweeps + 2 <= w``), and the residual +
+# restriction read the still-valid +-1 halo rows: 4 ppermutes per down-leg.
+# The virtual-mesh weak-scaling sweep is dominated by collective count
+# (VERDICT r3 item 6); this is the structural fix.
+# ---------------------------------------------------------------------------
+
+_MAX_GROUP_SWEEPS = 4
+
+
+def _split_groups(sweeps: int):
+    full, rem = divmod(sweeps, _MAX_GROUP_SWEEPS)
+    return [_MAX_GROUP_SWEEPS] * full + ([rem] if rem else [])
+
+
+def group_supported(R: int, sweeps: int, extra: int = 2) -> bool:
+    """Feasibility: every group's halo width must fit the local slab count
+    (a w-slab halo only reaches the NEAREST neighbor shard)."""
+    w_max = 2 * min(max(sweeps, 1), _MAX_GROUP_SWEEPS) + extra
+    return R % 2 == 0 and w_max <= R
+
+
+def _rbgs_sweeps_ext(ue, be, row0, global_shape, alpha, h, sweeps: int):
+    """``sweeps`` whole-block RB-GS sweeps on a halo-extended block — no
+    collectives; float-op-for-float-op the schedule of
+    ``rbgs_local(overlap=False)``, so rows that remain valid are bitwise
+    equal to the per-color-exchange path.  Rows whose global index falls
+    outside the domain are pinned to ``be`` (zeros from the edge halo
+    exchange) and can never contaminate the interior: the Dirichlet row 0 /
+    n-1 between them and the interior is re-pinned every color pass."""
+    c = alpha / (h * h)
+    shape_ext = tuple(ue.shape)
+    coords = []
+    for ax in range(len(shape_ext)):
+        cc = jax.lax.broadcasted_iota(jnp.int32, shape_ext, ax)
+        if ax == 0:
+            cc = cc + row0
+        coords.append(cc)
+    lead = coords[0]
+    bmask = (lead < 0) | (lead > global_shape[0] - 1)
+    for cc, n in zip(coords, global_shape):
+        bmask = bmask | (cc == 0) | (cc == n - 1)
+    parity = sum(coords) % 2
+    inv_diag = 1.0 / (2.0 * ue.ndim)
+    b_over_c = be / c
+
+    def nsum(u):
+        z = jnp.zeros_like(u[:1])
+        s = jnp.concatenate([z, u[:-1]], axis=0) + jnp.concatenate(
+            [u[1:], z], axis=0)
+        for ax in range(1, u.ndim):
+            s = s + _shift_local(u, ax, +1) + _shift_local(u, ax, -1)
+        return s
+
+    u = ue
+    for _ in range(sweeps):
+        for color in (0, 1):
+            gs = (b_over_c + nsum(u)) * inv_diag
+            u = jnp.where((parity == color) & ~bmask, gs, u)
+            u = jnp.where(bmask, be, u)
+    return u
+
+
+def _residual_ext(ue, be, row0, global_shape, alpha, h):
+    """Residual on the interior rows ``ue[1:-1]`` of an extended block —
+    collective-free; same float schedule as :func:`residual_local`.
+    ``row0`` is the global index of ``ue``'s first row."""
+    c = alpha / (h * h)
+    inner = ue[1:-1]
+    ns = ue[:-2] + ue[2:]
+    for ax in range(1, ue.ndim):
+        ns = ns + _shift_local(inner, ax, +1) + _shift_local(inner, ax, -1)
+    shape_in = tuple(inner.shape)
+    coords = []
+    for ax in range(len(shape_in)):
+        cc = jax.lax.broadcasted_iota(jnp.int32, shape_in, ax)
+        if ax == 0:
+            cc = cc + row0 + 1
+        coords.append(cc)
+    lead = coords[0]
+    bmask = (lead < 0) | (lead > global_shape[0] - 1)
+    for cc, n in zip(coords, global_shape):
+        bmask = bmask | (cc == 0) | (cc == n - 1)
+    diag = 2.0 * ue.ndim
+    Au = jnp.where(bmask, inner, c * (diag * inner - ns))
+    return be[1:-1] - Au
+
+
+def _grouped_sweeps(u, b, alpha, h, global_shape, axes, sweeps: int,
+                    tail_extra: int):
+    """Run grouped wide-halo sweeps; returns ``(u, ue, be, w_last)`` where
+    ``ue``/``be`` are the LAST group's extended blocks (halo width
+    ``w_last = 2*s + tail_extra``, so ``tail_extra`` rows each side are
+    still valid for a fused residual)."""
+    R = u.shape[0]
+    gsi = global_shard_index(axes)
+    groups = _split_groups(sweeps) or [0]
+    ue = be = None
+    w = 0
+    for gi, s in enumerate(groups):
+        last = gi == len(groups) - 1
+        w = 2 * s + (tail_extra if last else 0)
+        ut, ub = _halo_slabs(u, axes, w)
+        bt, bb = _halo_slabs(b, axes, w)
+        ue = jnp.concatenate([ut, u, ub], axis=0)
+        be = jnp.concatenate([bt, b, bb], axis=0)
+        if s:
+            ue = _rbgs_sweeps_ext(ue, be, gsi * R - w, global_shape,
+                                  alpha, h, s)
+        u = ue[w: w + R]
+    return u, ue, be, w
+
+
+def downleg_group_local(u, b, alpha, h, global_shape, axes, sweeps: int):
+    """Fused down-leg (grouped sweeps + residual + full-weighting restrict):
+    4 ppermutes total on a 1D mesh vs rbgs_local+residual+restrict's
+    ``4*sweeps + 4``.  Returns ``(u_smoothed, r_coarse)``."""
+    R = u.shape[0]
+    gsi = global_shard_index(axes)
+    u, ue, be, w = _grouped_sweeps(u, b, alpha, h, global_shape, axes,
+                                   sweeps, tail_extra=2)
+    # residual on rows gsi*R - 1 .. gsi*R + R (the restriction's rp)
+    rp = _residual_ext(ue[w - 2: w + R + 2], be[w - 2: w + R + 2],
+                       gsi * R - 2, global_shape, alpha, h)
+    return u, _restrict_from_rp(rp, global_shape, axes)
+
+
+def postsmooth_group_local(u, b, alpha, h, global_shape, axes, sweeps: int,
+                           resnorm: bool = False):
+    """Grouped post-smoothing; with ``resnorm`` the LOCAL residual
+    sum-of-squares comes fused (no extra exchange) — the caller psums."""
+    R = u.shape[0]
+    gsi = global_shard_index(axes)
+    u, ue, be, w = _grouped_sweeps(u, b, alpha, h, global_shape, axes,
+                                   sweeps, tail_extra=1 if resnorm else 0)
+    if not resnorm:
+        return u
+    r = _residual_ext(ue[w - 1: w + R + 1], be[w - 1: w + R + 1],
+                      gsi * R - 1, global_shape, alpha, h)
+    return u, jnp.sum(r * r)
+
+
+def _restrict_from_rp(rp, global_shape, axes):
+    """Full-weighting restriction given the halo-extended residual ``rp``
+    (``R + 2`` slabs: 1 top halo, R local, 1 bottom halo) — collective-free;
     trailing axes are fully local (ops/transfer._fw_axis semantics)."""
-    top, bot = _halo_slabs(r, axes)
-    rp = jnp.concatenate([top, r, bot], axis=0)  # (R+2, ...)
-    R = r.shape[0]
+    R = rp.shape[0] - 2
     n_global = global_shape[0]
     rows = 0.25 * rp[0:R:2] + 0.5 * rp[1: R + 1: 2] + 0.25 * rp[2: R + 2: 2]
     i = global_shard_index(axes)
@@ -283,9 +432,16 @@ def restrict_fw_local(r, global_shape, axes):
         rows = jnp.where(grow == nc - 1, 0.0, rows)
     else:
         rows = jnp.where(grow == nc - 1, rp[1: R + 1: 2], rows)
-    for ax in range(1, r.ndim):
+    for ax in range(1, rp.ndim):
         rows = _fw_axis(rows, ax)
     return rows
+
+
+def restrict_fw_local(r, global_shape, axes):
+    """Full-weighting restriction of a leading-axis shard (R slabs -> R/2)."""
+    top, bot = _halo_slabs(r, axes)
+    return _restrict_from_rp(jnp.concatenate([top, r, bot], axis=0),
+                             global_shape, axes)
 
 
 def prolong_local(e, fine_slabs: int, fine_trailing: Tuple[int, ...],
@@ -336,6 +492,7 @@ class ShardedGMGSolver:
         maxit: int = 100,
         min_rows_per_shard: int = 8,
         use_pallas: bool | str = "auto",
+        use_grouped: bool = True,
     ):
         if len(shape) not in (2, 3):
             raise ValueError("sharded solver supports 2D and 3D grids")
@@ -345,6 +502,10 @@ class ShardedGMGSolver:
         if use_pallas == "auto":
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas)
+        # wide-halo grouped sweeps (one exchange per group, fused residual/
+        # restrict); False keeps the per-color-exchange schedule — the A/B
+        # baseline for benchmarks/scale_bench's attribution mode
+        self.use_grouped = bool(use_grouped)
         self.mesh = mesh
         self._axes = row_axes(mesh)
         self.p = int(math.prod(mesh.shape[a] for a in self._axes))
@@ -394,16 +555,51 @@ class ShardedGMGSolver:
 
     # -- sharded V-cycle -----------------------------------------------------
 
-    def _v_local(self, u, b, level: int):
+    def _pallas_ok(self, u):
+        if not self.use_pallas:
+            return False
+        from multigrid_prj_tpu.ops.pallas_stencil import (
+            fused_extended_supported,
+        )
+
+        return u.shape[0] >= 8 and fused_extended_supported(u.shape, u.dtype)
+
+    def _downleg(self, u, b, gshape, h):
+        """Pre-smooth + residual + restrict with the fewest collectives the
+        shard shape allows."""
+        a, axes = self.alpha, self._axes
+        if self._pallas_ok(u):
+            u = rbgs_local_pallas(u, b, a, h, gshape, axes, self.nu1)
+        elif self.use_grouped and group_supported(u.shape[0], self.nu1,
+                                                  extra=2):
+            return downleg_group_local(u, b, a, h, gshape, axes, self.nu1)
+        else:
+            u = rbgs_local(u, b, a, h, gshape, axes, self.nu1)
+        r = residual_local(u, b, a, h, gshape, axes)
+        return u, restrict_fw_local(r, gshape, axes)
+
+    def _postsmooth(self, u, b, gshape, h, resnorm: bool = False):
+        a, axes = self.alpha, self._axes
+        if self._pallas_ok(u):
+            u = rbgs_local_pallas(u, b, a, h, gshape, axes, self.nu2)
+        elif self.use_grouped and group_supported(
+                u.shape[0], self.nu2, extra=1 if resnorm else 0):
+            return postsmooth_group_local(u, b, a, h, gshape, axes,
+                                          self.nu2, resnorm=resnorm)
+        else:
+            u = rbgs_local(u, b, a, h, gshape, axes, self.nu2)
+        if not resnorm:
+            return u
+        r = residual_local(u, b, a, h, gshape, axes)
+        return u, jnp.sum(r * r)
+
+    def _v_local(self, u, b, level: int, resnorm: bool = False):
         lev = self.levels[level]
         gshape = lev.shape
         h = lev.h
         a = self.alpha
         axes = self._axes
-        u = rbgs_local(u, b, a, h, gshape, axes, self.nu1,
-                       pallas=self.use_pallas)
-        r = residual_local(u, b, a, h, gshape, axes)
-        rc = restrict_fw_local(r, gshape, axes)
+        u, rc = self._downleg(u, b, gshape, h)
         nlev = self.levels[level + 1]
         if level + 1 < self.num_sharded:
             ec = self._v_local(jnp.zeros_like(rc), rc, level + 1)
@@ -419,8 +615,7 @@ class ShardedGMGSolver:
             i = global_shard_index(axes)
             ec = lax.dynamic_slice_in_dim(e_full, i * rc_rows, rc_rows, axis=0)
         u = u + prolong_local(ec, u.shape[0], gshape[1:], axes)
-        return rbgs_local(u, b, a, h, gshape, axes, self.nu2,
-                          pallas=self.use_pallas)
+        return self._postsmooth(u, b, gshape, h, resnorm=resnorm)
 
     def _solve_local(self, u, b):
         lev0 = self.levels[0]
@@ -442,8 +637,12 @@ class ShardedGMGSolver:
 
         def body(st):
             u, k, hist = st
-            u = self._v_local(u, b, 0)
-            hist = hist.at[k + 1].set(rel(u))
+            # the convergence residual comes fused out of the level-0
+            # post-smoothing (no extra halo exchange per iteration on the
+            # grouped path)
+            u, rn2_local = self._v_local(u, b, 0, resnorm=True)
+            rn = jnp.sqrt(lax.psum(rn2_local, axes) / b2)
+            hist = hist.at[k + 1].set(rn)
             return u, k + 1, hist
 
         u, k, hist = lax.while_loop(cond, body, (u, jnp.int32(0), hist))

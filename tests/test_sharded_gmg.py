@@ -253,3 +253,94 @@ def test_sharded_solver_pallas_end_to_end():
     k = min(len(hp), len(hx))
     sel = hx[:k] > 1e-3
     np.testing.assert_allclose(hp[:k][sel], hx[:k][sel], rtol=2e-2)
+
+
+@pytest.mark.parametrize("nu", [2, 5])
+def test_grouped_downleg_bitwise_matches_per_color(nu):
+    """Wide-halo grouped sweeps + fused residual/restrict (ONE exchange per
+    group) vs the per-color-exchange composition: same float ops on every
+    row that stays valid, so agreement is at the 1-2-ulp level (XLA may
+    contract mul+add to FMA differently across the two program shapes —
+    exact bitwise equality is not guaranteed between separately compiled
+    programs)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multigrid_prj_tpu.parallel import sharded_gmg as sg
+
+    p = 4
+    mesh = make_mesh(p)
+    n = 64
+    gshape = (n, n)
+    h = LEN / (n - 1)
+    rng = np.random.default_rng(1)
+    spec = P("x", None)
+    sh = NamedSharding(mesh, spec)
+    u = jax.device_put(jnp.asarray(
+        rng.standard_normal(gshape), jnp.float32), sh)
+    b = jax.device_put(jnp.asarray(
+        rng.standard_normal(gshape), jnp.float32), sh)
+
+    def grouped(u, b):
+        return sg.downleg_group_local(u, b, ALPHA, h, gshape, ("x",), nu)
+
+    def composed(u, b):
+        u2 = sg.rbgs_local(u, b, ALPHA, h, gshape, ("x",), nu,
+                           overlap=False)
+        r = sg.residual_local(u2, b, ALPHA, h, gshape, ("x",))
+        return u2, sg.restrict_fw_local(r, gshape, ("x",))
+
+    with mesh:
+        outs = {}
+        for name, fn in (("grouped", grouped), ("composed", composed)):
+            f = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec),
+                                      out_specs=(spec, spec)))
+            u2, rc = f(u, b)
+            outs[name] = (np.asarray(u2), np.asarray(rc))
+    np.testing.assert_allclose(outs["grouped"][0], outs["composed"][0],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(outs["grouped"][1], outs["composed"][1],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_postsmooth_resnorm_matches_explicit_residual():
+    """The fused post-smoothing residual norm equals the explicit
+    residual_local norm (to ulp-level reassociation)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multigrid_prj_tpu.parallel import sharded_gmg as sg
+
+    p = 4
+    mesh = make_mesh(p)
+    n = 64
+    gshape = (n, n)
+    h = LEN / (n - 1)
+    rng = np.random.default_rng(2)
+    spec = P("x", None)
+    shd = NamedSharding(mesh, spec)
+    u = jax.device_put(jnp.asarray(
+        rng.standard_normal(gshape), jnp.float32), shd)
+    b = jax.device_put(jnp.asarray(
+        rng.standard_normal(gshape), jnp.float32), shd)
+
+    def fused(u, b):
+        u2, rn2 = sg.postsmooth_group_local(u, b, ALPHA, h, gshape, ("x",),
+                                            2, resnorm=True)
+        return u2, jax.lax.psum(rn2, "x")
+
+    def explicit(u, b):
+        u2 = sg.rbgs_local(u, b, ALPHA, h, gshape, ("x",), 2, overlap=False)
+        r = sg.residual_local(u2, b, ALPHA, h, gshape, ("x",))
+        return u2, sg.norm2_psum(r, ("x",))
+
+    with mesh:
+        res = {}
+        for name, fn in (("fused", fused), ("explicit", explicit)):
+            f = jax.jit(jax.shard_map(
+                fn, mesh=mesh, in_specs=(spec, spec),
+                out_specs=(spec, P())))
+            u2, rn2 = f(u, b)
+            res[name] = (np.asarray(u2), float(rn2))
+    np.testing.assert_allclose(res["fused"][0], res["explicit"][0],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(res["fused"][1], res["explicit"][1],
+                               rtol=1e-5)
