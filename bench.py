@@ -541,7 +541,7 @@ def main() -> None:
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     extra_cap_s = float(os.environ.get("BENCH_EXTRA_CAP_S", "300"))
 
-    def run_extra(label, fn):
+    def run_extra(label, fn, cap=None):
         left = budget_s - (time.perf_counter() - t_start)
         if left <= 10.0:
             extra[label + "_skipped"] = "wall budget exhausted"
@@ -549,7 +549,7 @@ def main() -> None:
             return None
         t0 = time.perf_counter()
         try:
-            with _deadline(min(extra_cap_s, left)):
+            with _deadline(min(cap or extra_cap_s, left)):
                 out = _retry(fn)
         except BaseException as e:  # _ExtraDeadline included
             extra[label + "_error"] = str(e)[:200]
@@ -572,7 +572,8 @@ def main() -> None:
             extra["vcycle_1025_ff32_compute_ms"] = (
                 ms - extra["dispatch_roundtrip_ms"])
     emit()
-    v = run_extra("amg_fd", lambda: measure_amg_fd(1024))
+    # ~320 s measured (host FD build + setup + 3 solve phases at 1M rows)
+    v = run_extra("amg_fd", lambda: measure_amg_fd(1024), cap=420.0)
     if v is not None:
         extra.update(v)
     emit()

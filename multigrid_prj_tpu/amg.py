@@ -621,8 +621,13 @@ class AMGSolver:
                 return None
             from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
 
+            # nlt_step=16: the AMG V-cycle traces ~70 SpMV call sites; the
+            # compile-friendly split-unroll schedule keeps total Mosaic
+            # lowering in seconds (vs >30 min at full unroll) at ~45% of
+            # the single-kernel streaming rate — the right trade here
             return PallasELL.build(M, dtype=dtype,
-                                   interpret=self._pallas_interpret)
+                                   interpret=self._pallas_interpret,
+                                   nlt_step=16)
 
         for i, M in enumerate(self.host_matrices):
             ell, diag, colors, n_colors, blocks = _to_device_level(
@@ -827,7 +832,7 @@ class AMGSolver:
 
                 pf = PallasELL.build(self.host_matrices[0], dtype=jnp.float32,
                                      interpret=self._pallas_interpret,
-                                     pair=True)
+                                     pair=True, nlt_step=16)
                 if pf is not None and not pf.windowed and not pf.compact:
                     # probe-compile once: build()'s pair-mode VMEM budget is
                     # conservative, but a Mosaic VMEM overflow here must

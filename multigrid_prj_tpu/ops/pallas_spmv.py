@@ -112,32 +112,53 @@ def _gather_tile(win, idx, k, t_win, dtype):
     return g
 
 
-def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
-                 tw_slice):
-    """One row block: r rows x k slots; per lane tile, window-select gather.
+def _pick_nlt_step(nlt: int, hint: int = 0) -> int:
+    """``hint = 0``: full row block (the fast 1D schedule).  Otherwise the
+    largest divisor of ``nlt`` that is <= hint (block_rows is a multiple of
+    1024, so nlt is a multiple of 8)."""
+    if hint <= 0 or hint >= nlt:
+        return nlt
+    for d in (64, 32, 16, 8, 4, 2, 1):
+        if nlt % d == 0 and d <= hint:
+            return d
+    return 1
 
-    ``o_ref`` is an ``(r / 128, 128)`` tile of the output in the same
-    row-major 2D layout as ``x`` — lane tile ``j``'s 128 row sums land in
-    output sublane ``j``.
+
+_NLT_STEP = 16  # lane tiles per grid step (2048 lanes: DMA-efficient
+# blocks, while the kernel BODY unrolls only 16 tiles instead of the whole
+# row block's 128 — tracing + Mosaic lowering of the body shrink 8x, the
+# dominant compile cost of a deep AMG cycle with ~70 SpMV call sites; same
+# pattern as _spmm_kernel's vector grid axis, "255 s vs seconds")
+
+
+def _spmv_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
+                 tw_slice, nlt_step):
+    """One (row block, lane-tile group) grid step; per lane tile, a
+    window-select gather.
+
+    ``o_ref`` is an ``(nlt_step, 128)`` tile of the output in the same
+    row-major 2D layout as ``x`` — lane tile ``jj``'s 128 row sums land in
+    output sublane ``jj``.
     """
     i = pl.program_id(0)
+    j2 = pl.program_id(1)
     nlt = r // _LANE
-    for j in range(nlt):
-        sl = slice(j * _LANE, (j + 1) * _LANE)
+    for jj in range(nlt_step):
+        sl = slice(jj * _LANE, (jj + 1) * _LANE)
         # cols are stored int16 (relative ids < t_win * 128): 6 B/slot
         # streamed instead of 8 — measured +7% on v5e (bit-identical)
         idx = cols_ref[:, sl].astype(jnp.int32)
-        base = base2_ref[i * nlt + j]
+        base = base2_ref[i * nlt + j2 * nlt_step + jj]
         # ONE dynamic sublane slice per lane tile (the window's tw_slice
         # x-tiles); the per-window-tile sources are then cheap static-row
         # broadcasts of it.  (A dynamic slice per (j, t) measured 4x slower.)
         win = x_ref[pl.ds(base, tw_slice), :]
         g = _gather_tile(win, idx, k, t_win, x_ref.dtype)
-        o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
+        o_ref[jj, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
 def _spmv_compact_kernel(tiles2_ref, cols_ref, vals_ref, x_ref, o_ref, *,
-                         k, r, u_max):
+                         k, r, u_max, nlt_step):
     """Compact-window variant for WIDE bands (t_win > 8): per lane tile the
     scalar-prefetched ``tiles2`` lists the <= ``u_max`` DISTINCT x-tiles its
     slots actually touch (an RCM'd 2D FD matrix touches ~3 of its ~17-tile
@@ -146,45 +167,47 @@ def _spmv_compact_kernel(tiles2_ref, cols_ref, vals_ref, x_ref, o_ref, *,
     ``u_max`` single-tile dynamic slices + the same rounds — both the VPU
     work and the unrolled program size drop by ``t_win / u_max``."""
     i = pl.program_id(0)
+    j2 = pl.program_id(1)
     nlt = r // _LANE
-    for j in range(nlt):
-        sl = slice(j * _LANE, (j + 1) * _LANE)
+    for jj in range(nlt_step):
+        sl = slice(jj * _LANE, (jj + 1) * _LANE)
         idx = cols_ref[:, sl].astype(jnp.int32)
         hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
         lo = jax.lax.bitwise_and(idx, jnp.int32(127))
         g = jnp.zeros((k, _LANE), x_ref.dtype)
         for u in range(u_max):
-            t_idx = tiles2_ref[(i * nlt + j) * u_max + u]
+            t_idx = tiles2_ref[(i * nlt + j2 * nlt_step + jj) * u_max + u]
             row = x_ref[pl.ds(t_idx, 1), :]
             src = jnp.broadcast_to(row, (k, _LANE))
             g = jnp.where(hi == u, jnp.take_along_axis(src, lo, axis=1), g)
-        o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
+        o_ref[jj, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
 def _spmv_windowed_kernel(base2_ref, q_ref, q2_ref, cols_ref, vals_ref,
                           x1_ref, x2_ref, o_ref, xw_ref, *, k, r, t_win,
-                          tw_slice):
+                          tw_slice, nlt_step):
     """Windowed-x row block: x arrives as two Wq-tile blocks (the aligned
     block holding the row block's lowest x-tile and its successor); their
     copy into the contiguous ``xw`` scratch covers every lane tile's window
     (Mosaic can ``pl.ds``-slice a ref but not a concatenated value).
     ``base2`` is stored relative to the first block's start (q[i] * Wq)."""
     i = pl.program_id(0)
+    j2 = pl.program_id(1)
     nlt = r // _LANE
     wq = x1_ref.shape[0]
     xw_ref[:wq] = x1_ref[:]
     xw_ref[wq:] = x2_ref[:]
-    for j in range(nlt):
-        sl = slice(j * _LANE, (j + 1) * _LANE)
+    for jj in range(nlt_step):
+        sl = slice(jj * _LANE, (jj + 1) * _LANE)
         idx = cols_ref[:, sl].astype(jnp.int32)
-        base = base2_ref[i * nlt + j]
+        base = base2_ref[i * nlt + j2 * nlt_step + jj]
         win = xw_ref[pl.ds(base, tw_slice), :]
         g = _gather_tile(win, idx, k, t_win, xw_ref.dtype)
-        o_ref[j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
+        o_ref[jj, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
 def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
-                 tw_slice):
+                 tw_slice, nlt_step):
     """Multi-vector variant of :func:`_spmv_kernel`: ``x_ref`` holds ``nvec``
     padded vectors as ``(nvec, S, 128)``; grid = (row blocks, vectors) with
     the vector index MINOR, so A's cols/vals block (indexed by row block
@@ -194,19 +217,20 @@ def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
     body instead multiplies the unrolled body by ``nvec`` and blows up the
     Mosaic compile: 255 s measured vs seconds this way.)"""
     i = pl.program_id(0)
-    vv = pl.program_id(1)
+    j2 = pl.program_id(1)
+    vv = pl.program_id(2)
     nlt = r // _LANE
-    for j in range(nlt):
-        sl = slice(j * _LANE, (j + 1) * _LANE)
+    for jj in range(nlt_step):
+        sl = slice(jj * _LANE, (jj + 1) * _LANE)
         idx = cols_ref[:, sl].astype(jnp.int32)
-        base = base2_ref[i * nlt + j]
+        base = base2_ref[i * nlt + j2 * nlt_step + jj]
         win = x_ref[vv, pl.ds(base, tw_slice), :]
         g = _gather_tile(win, idx, k, t_win, x_ref.dtype)
-        o_ref[0, j, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
+        o_ref[0, jj, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
 def _ffres_kernel(base2_ref, cols_ref, vh_ref, vl_ref, xh_ref, xl_ref,
-                  bh_ref, bl_ref, o_ref, *, k, r, t_win, tw_slice):
+                  bh_ref, bl_ref, o_ref, *, k, r, t_win, tw_slice, nlt_step):
     """Extended-precision residual ``r = b - A x`` with pair-carried
     ``A`` (vals hi+lo) and ``x`` (hi+lo): the kernel analog of
     ``ops/sparse_extended.ell_residual_ff`` — Dekker two_prod per slot
@@ -214,11 +238,12 @@ def _ffres_kernel(base2_ref, cols_ref, vh_ref, vl_ref, xh_ref, xl_ref,
     the banded-window gather layout instead of the ~13x-slower
     ``jnp.take`` lowering.  Numerics match the XLA chain op-for-op."""
     i = pl.program_id(0)
+    j2 = pl.program_id(1)
     nlt = r // _LANE
-    for j in range(nlt):
-        sl = slice(j * _LANE, (j + 1) * _LANE)
+    for jj in range(nlt_step):
+        sl = slice(jj * _LANE, (jj + 1) * _LANE)
         idx = cols_ref[:, sl].astype(jnp.int32)
-        base = base2_ref[i * nlt + j]
+        base = base2_ref[i * nlt + j2 * nlt_step + jj]
         gh = _gather_tile(xh_ref[pl.ds(base, tw_slice), :], idx, k, t_win,
                           xh_ref.dtype)
         gl = _gather_tile(xl_ref[pl.ds(base, tw_slice), :], idx, k, t_win,
@@ -236,8 +261,8 @@ def _ffres_kernel(base2_ref, cols_ref, vh_ref, vl_ref, xh_ref, xl_ref,
         e = ((sp_ah * sp_bh - p) + sp_ah * sp_bl + sp_al * sp_bh) \
             + sp_al * sp_bl
         e = e + vh * gl + vl * gh
-        acc_h = bh_ref[j:j + 1, :]
-        acc_l = bl_ref[j:j + 1, :]
+        acc_h = bh_ref[jj:jj + 1, :]
+        acc_l = bl_ref[jj:jj + 1, :]
         for kk in range(k):  # cascaded exact accumulation over ELL slots
             pk = p[kk:kk + 1, :]
             s = acc_h - pk
@@ -246,7 +271,7 @@ def _ffres_kernel(base2_ref, cols_ref, vh_ref, vl_ref, xh_ref, xl_ref,
             err = err + (acc_l - e[kk:kk + 1, :])
             acc_h = s + err
             acc_l = err - (acc_h - s)
-        o_ref[j, :] = (acc_h + acc_l)[0, :]
+        o_ref[jj, :] = (acc_h + acc_l)[0, :]
 
 
 @jax.tree_util.register_dataclass
@@ -278,6 +303,14 @@ class PallasELL:
     # same slot-major layout — powers the extended-precision residual
     # kernel (residual_ff)
     valsT_lo: Optional[jax.Array] = None
+    # lane tiles per grid step (kernel-body unroll).  0 = full row block
+    # (the measured-fastest 1D schedule, 648 GB/s at block_rows 16384; the
+    # Mosaic lowering cost of its 128-tile body is paid per CALL SITE).
+    # Small values (16) split the unroll over a second grid axis: ~8x
+    # cheaper lowering, ~45% lower throughput (measured 40 vs 78 G slots/s)
+    # — the right trade for programs with MANY SpMV call sites (the AMG
+    # V-cycle: ~70 sites, >30 min of lowering at full unroll).
+    nlt_step: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def windowed(self) -> bool:
@@ -296,6 +329,7 @@ class PallasELL:
         interpret: bool = False,
         max_x_vmem: int = _MAX_X_VMEM,
         pair: bool = False,
+        nlt_step: int = 0,
     ) -> Optional["PallasELL"]:
         """Prepare a CSR matrix for the kernel; ``None`` if unsupported.
 
@@ -429,6 +463,7 @@ class PallasELL:
                     u_max=u_max,
                     interpret=interpret,
                     valsT_lo=_vlo(),
+                    nlt_step=nlt_step,
                 )
         if t_win > max_t_win:
             return None
@@ -476,6 +511,7 @@ class PallasELL:
             wq=wq,
             interpret=interpret,
             valsT_lo=_vlo(),
+            nlt_step=nlt_step,
         )
 
     @property
@@ -521,20 +557,26 @@ class PallasELL:
             bytes_accessed=6 * k_pad * n_pad + 4 * (self.m_pad + n_pad),
             transcendentals=0,
         )
+        ns = _pick_nlt_step(nlt, self.nlt_step)
+        nj2 = nlt // ns
+        rs = ns * _LANE  # lanes per grid step
         if self.compact:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(nb,),
+                grid=(nb, nj2),
                 in_specs=[
-                    pl.BlockSpec((k_pad, r), lambda i, t2: (0, i)),
-                    pl.BlockSpec((k_pad, r), lambda i, t2: (0, i)),
+                    pl.BlockSpec((k_pad, rs),
+                                 lambda i, j2, t2: (0, i * nj2 + j2)),
+                    pl.BlockSpec((k_pad, rs),
+                                 lambda i, j2, t2: (0, i * nj2 + j2)),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((nlt, _LANE), lambda i, t2: (i, 0)),
+                out_specs=pl.BlockSpec((ns, _LANE),
+                                       lambda i, j2, t2: (i * nj2 + j2, 0)),
             )
             return pl.pallas_call(
                 _kp(_spmv_compact_kernel, k=k_pad, r=r,
-                                  u_max=self.u_max),
+                                  u_max=self.u_max, nlt_step=ns),
                 out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
                                                self.valsT.dtype),
                 grid_spec=grid_spec,
@@ -545,23 +587,27 @@ class PallasELL:
             wq = self.wq
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
-                grid=(nb,),
+                grid=(nb, nj2),
                 in_specs=[
-                    pl.BlockSpec((k_pad, r), lambda i, b2, q, q2: (0, i)),
-                    pl.BlockSpec((k_pad, r), lambda i, b2, q, q2: (0, i)),
+                    pl.BlockSpec((k_pad, rs),
+                                 lambda i, j2, b2, q, q2: (0, i * nj2 + j2)),
+                    pl.BlockSpec((k_pad, rs),
+                                 lambda i, j2, b2, q, q2: (0, i * nj2 + j2)),
                     pl.BlockSpec((wq, _LANE),
-                                 lambda i, b2, q, q2: (q[i], 0)),
+                                 lambda i, j2, b2, q, q2: (q[i], 0)),
                     pl.BlockSpec((wq, _LANE),
-                                 lambda i, b2, q, q2: (q2[i], 0)),
+                                 lambda i, j2, b2, q, q2: (q2[i], 0)),
                 ],
-                out_specs=pl.BlockSpec((nlt, _LANE),
-                                       lambda i, b2, q, q2: (i, 0)),
+                out_specs=pl.BlockSpec((ns, _LANE),
+                                       lambda i, j2, b2, q, q2:
+                                       (i * nj2 + j2, 0)),
                 scratch_shapes=[pltpu.VMEM((2 * wq, _LANE),
                                            self.valsT.dtype)],
             )
             return pl.pallas_call(
                 _kp(_spmv_windowed_kernel, k=k_pad, r=r,
-                                  t_win=self.t_win, tw_slice=tw_slice),
+                                  t_win=self.t_win, tw_slice=tw_slice,
+                                  nlt_step=ns),
                 out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
                                                self.valsT.dtype),
                 grid_spec=grid_spec,
@@ -571,7 +617,8 @@ class PallasELL:
               x2d, x2d)
         return ell_local_spmv2d(self.base2, self.colsT_rel, self.valsT, x2d,
                                 t_win=self.t_win, block_rows=r,
-                                interpret=interpret, cost=cost)
+                                interpret=interpret, cost=cost,
+                                nlt_step=self.nlt_step)
 
 
     # -- extended-precision residual (pair mode) -------------------------
@@ -599,23 +646,32 @@ class PallasELL:
             return vp.at[: self.shape[0]].set(
                 v.astype(self.valsT.dtype)).reshape(-1, _LANE)
 
+        ns = _pick_nlt_step(nlt, self.nlt_step)
+        nj2 = nlt // ns
+        rs = ns * _LANE
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb,),
+            grid=(nb, nj2),
             in_specs=[
-                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
-                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
-                pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+                pl.BlockSpec((k_pad, rs),
+                             lambda i, j2, b2: (0, i * nj2 + j2)),
+                pl.BlockSpec((k_pad, rs),
+                             lambda i, j2, b2: (0, i * nj2 + j2)),
+                pl.BlockSpec((k_pad, rs),
+                             lambda i, j2, b2: (0, i * nj2 + j2)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
-                pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+                pl.BlockSpec((ns, _LANE),
+                             lambda i, j2, b2: (i * nj2 + j2, 0)),
+                pl.BlockSpec((ns, _LANE),
+                             lambda i, j2, b2: (i * nj2 + j2, 0)),
             ],
-            out_specs=pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+            out_specs=pl.BlockSpec((ns, _LANE),
+                                   lambda i, j2, b2: (i * nj2 + j2, 0)),
         )
         out = pl.pallas_call(
             _kp(_ffres_kernel, k=k_pad, r=r, t_win=self.t_win,
-                              tw_slice=tw_slice),
+                              tw_slice=tw_slice, nlt_step=ns),
             out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
                                            self.valsT.dtype),
             grid_spec=grid_spec,
@@ -677,20 +733,28 @@ class PallasELL:
         r = self.block_rows
         nb = n_pad // r
         nlt = r // _LANE
+        ns = _pick_nlt_step(nlt, self.nlt_step)
+        nj2 = nlt // ns
+        rs = ns * _LANE
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, nvec),  # vector index minor: A block reused across it
+            # vector index minor: A's (cols, vals) block reused across it
+            grid=(nb, nj2, nvec),
             in_specs=[
-                pl.BlockSpec((k_pad, r), lambda i, vv, b2: (0, i)),
-                pl.BlockSpec((k_pad, r), lambda i, vv, b2: (0, i)),
+                pl.BlockSpec((k_pad, rs),
+                             lambda i, j2, vv, b2: (0, i * nj2 + j2)),
+                pl.BlockSpec((k_pad, rs),
+                             lambda i, j2, vv, b2: (0, i * nj2 + j2)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, nlt, _LANE), lambda i, vv, b2: (vv, i, 0)),
+            out_specs=pl.BlockSpec((1, ns, _LANE),
+                                   lambda i, j2, vv, b2:
+                                   (vv, i * nj2 + j2, 0)),
         )
         return pl.pallas_call(
-            functools.partial(
+            _kp(
                 _spmm_kernel, k=k_pad, r=r, t_win=self.t_win,
-                tw_slice=max(8, self.t_win),
+                tw_slice=max(8, self.t_win), nlt_step=ns,
             ),
             out_shape=jax.ShapeDtypeStruct((nvec, nb * nlt, _LANE),
                                            self.valsT.dtype),
@@ -707,7 +771,7 @@ class PallasELL:
 
 def ell_local_spmv2d(base2, colsT_rel, valsT, x2d, *, t_win: int,
                      block_rows: int, interpret: bool = False,
-                     cost=None) -> jax.Array:
+                     cost=None, nlt_step: int = 0) -> jax.Array:
     """The raw VMEM-resident-x SpMV kernel on explicit arrays.
 
     Used by :meth:`PallasELL.spmv2d` and by the shard-local apply of the
@@ -726,21 +790,25 @@ def ell_local_spmv2d(base2, colsT_rel, valsT, x2d, *, t_win: int,
             + 4 * (x2d.size + n_pad),
             transcendentals=0,
         )
+    ns = _pick_nlt_step(nlt, nlt_step)
+    nj2 = nlt // ns
+    rs = ns * _LANE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nb, nj2),
         in_specs=[
-            pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
-            pl.BlockSpec((k_pad, r), lambda i, b2: (0, i)),
+            pl.BlockSpec((k_pad, rs), lambda i, j2, b2: (0, i * nj2 + j2)),
+            pl.BlockSpec((k_pad, rs), lambda i, j2, b2: (0, i * nj2 + j2)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nlt, _LANE), lambda i, b2: (i, 0)),
+        out_specs=pl.BlockSpec((ns, _LANE),
+                               lambda i, j2, b2: (i * nj2 + j2, 0)),
     )
     vma = getattr(jax.typeof(x2d), "vma", frozenset())
     return pl.pallas_call(
-        functools.partial(
+        _kp(
             _spmv_kernel, k=k_pad, r=r, t_win=t_win,
-            tw_slice=max(8, t_win),
+            tw_slice=max(8, t_win), nlt_step=ns,
         ),
         out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE), valsT.dtype,
                                        vma=vma),

@@ -59,13 +59,41 @@ def _pick_block_rows(n: int, m: int, n_big_operands: int = 3) -> int | None:
     """Largest row-block size that divides ``n`` and fits VMEM.
 
     Budget: double-buffered big operands (u, b, out) of (R, m) f32 plus two
-    8-row halo blocks.
+    8-row halo blocks.  Simple one-pass kernels (apply/residual/color) fit
+    this model; the temporally-FUSED kernels keep live (r+16, m) extended
+    temporaries on the same scoped stack and must use
+    :func:`_pick_block_rows_fused` (measured: the fused RB-GS at m = 8448,
+    r = 48 allocates 21.2 MB and compile-OOMs under this model).
     """
     for r in (256, 128, 64, 48, 32, 24, 16, 8):
         if n % r:
             continue
         bytes_needed = 2 * (n_big_operands * r * m * 4 + 2 * 8 * m * 4)
         if bytes_needed <= _VMEM_BUDGET:
+            return r
+    return None
+
+
+def _pick_block_rows_fused(n: int, m: int, n_temps: int = 5,
+                           ring: int = 16,
+                           budget: int | None = None) -> int | None:
+    """Block rows for the temporally-fused kernels: the 3 operand blocks
+    (double-buffered) plus ``n_temps`` live (r + ring, m) extended-iterate
+    temporaries on the scoped-VMEM stack.
+
+    Calibrated per kernel against measured Mosaic allocations: the fused
+    RB-GS allocates ~5 live extended temporaries (21.24 MB at r=48,
+    m=8448 -> compile OOM), the leaner apply-chain kernel ~2 (it FIT at
+    r=48, m=8192 with ~15 MB and failed only at r=64 — callers pass
+    n_temps/budget accordingly)."""
+    if budget is None:
+        budget = _VMEM_BUDGET
+    for r in (256, 128, 64, 48, 32, 24, 16, 8):
+        if n % r:
+            continue
+        bytes_needed = (2 * (3 * r * m * 4 + 2 * 8 * m * 4)
+                        + n_temps * (r + ring) * m * 4)
+        if bytes_needed <= budget:
             return r
     return None
 
@@ -408,7 +436,9 @@ def ff_poisson_residual(u_hi, u_lo, d_hi, d_lo, b, alpha: float, h: float,
                                         logical_shape)
     n, m = u_hi.shape
     c = alpha / (h * h)
-    r = _pick_block_rows(n, m, 6)
+    # 6 operand blocks + ~10 live two-sum temporaries (measured 17.98 MB
+    # at r=24, m=8448 under an operand-only model -> compile OOM)
+    r = _pick_block_rows_fused(n, m, n_temps=12, ring=0)
     if r is None:
         return _ext.ff_poisson_residual(u_hi, u_lo, d_hi, d_lo, b, alpha, h,
                                         logical_shape)
@@ -477,10 +507,15 @@ def poisson_apply_chain(u: jax.Array, alpha: float, h: float, applies: int,
         return x
     n, m = u.shape
     c = alpha / (h * h)
-    # budget as the 3-operand fused smoothers: the temporal working set
-    # ((r+16, m) extended iterate + neighbor temps) lives on the VMEM
-    # stack — r=64 at m=8192 measured 0.5 MB over the 16 MB scoped limit
-    r = _pick_block_rows(n, m, 3)
+    # chain-kernel budget: ~2 live extended temps; 15 MB admits the
+    # measured-fastest r=48 at m=8192 (r=64 measured 0.5 MB over the
+    # 16 MB scoped limit and is correctly rejected)
+    r = _pick_block_rows_fused(n, m, n_temps=2, budget=15 * 1024 * 1024)
+    if r is None:  # wide grid: chain single-pass applies instead
+        x = u
+        for _ in range(applies):
+            x = poisson_apply(x, alpha, h, logical_shape)
+        return x
 
     def group(x, y, s):
         def body(*refs):  # (u, un, us, out)
@@ -724,7 +759,7 @@ def fused_extended_supported(local_shape, dtype) -> bool:
         return False
     n, m = local_shape
     return (n % 8 == 0 and m % _LANE == 0
-            and _pick_block_rows(-(-(n + 16) // 64) * 64, m) is not None
+            and _pick_block_rows_fused(-(-(n + 16) // 64) * 64, m) is not None
             and dtype in (jnp.float32, jnp.dtype("float32")))
 
 
@@ -756,7 +791,7 @@ def rbgs_fused_extended(ue: jax.Array, be: jax.Array, row0, logical_shape,
     if ne_pad != ne:
         ue = jnp.pad(ue, ((0, ne_pad - ne), (0, 0)))
         be = jnp.pad(be, ((0, ne_pad - ne), (0, 0)))
-    r = _pick_block_rows(ne_pad, m)
+    r = _pick_block_rows_fused(ne_pad, m)
     center, north, south = _edge_specs(ne_pad, m, r)
 
     def shift1(spec):
@@ -824,7 +859,13 @@ def red_black_gauss_seidel(u, b, alpha, h, sweeps: int = 1, omega: float = 1.0,
                                           logical_shape=logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    r = _pick_block_rows(n, m)
+    r = _pick_block_rows_fused(n, m)
+    if r is None:  # wide grid: fused working set exceeds VMEM
+        from multigrid_prj_tpu.ops import smoothers as _sm
+
+        return _sm.red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps,
+                                          omega=omega,
+                                          logical_shape=logical_shape)
 
     def group(x, y, s):
         """s fused sweeps: x -> y's buffer."""
@@ -873,7 +914,12 @@ def jacobi(u, b, alpha, h, omega: float = 1.0, sweeps: int = 1,
                           logical_shape=logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    r = _pick_block_rows(n, m)
+    r = _pick_block_rows_fused(n, m)
+    if r is None:  # wide grid: fused working set exceeds VMEM
+        from multigrid_prj_tpu.ops import smoothers as _sm
+
+        return _sm.jacobi(u, b, alpha, h, omega=omega, sweeps=sweeps,
+                          logical_shape=logical_shape)
 
     def group(x, y, s):
         return _call_fused(_jacobi_fused_kernel, x, b, n, m, r, s,

@@ -182,10 +182,18 @@ def test_downleg_wide_grid_falls_back():
     """Grids whose width admits 3-operand kernels but not the 5-operand
     down-leg kernel must take the composition fallback instead of raising
     (ADVICE r3: _pick_block_rows(n, m, 5) returning None)."""
-    n, m = 8, 35840  # 3-operand r=8 fits (~2.3MB*2) but 5-operand doesn't
+    # find a width where the 3-operand budget admits the shape but the
+    # 5-operand down-leg kernel's does not (the exact threshold depends on
+    # the VMEM model constants)
+    n, m = 8, None
+    for cand in range(1024, 80 * 1024, 128):
+        if (ps._pick_block_rows(n, cand, 3) is not None
+                and ps._pick_block_rows(n, cand, 5) is None):
+            m = cand
+            break
+    assert m is not None, "no width separates the 3- and 5-operand budgets"
     assert ps._is_supported((n, m), jnp.float32)
-    assert ps._pick_block_rows(n, m, 5) is None
-    logical = (7, 35000)
+    logical = (7, m - 100)
     np_rng = np.random.default_rng(5)
     u = jnp.asarray(np_rng.standard_normal((n, m)), jnp.float32)
     b = jnp.asarray(np_rng.standard_normal((n, m)), jnp.float32)
