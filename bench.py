@@ -191,8 +191,11 @@ def measure_ell_spmv(n: int = 1 << 20, delta: int = 200):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
 
     def chain(iters):
+        # pA rides as a pytree ARGUMENT: closure capture would embed the
+        # slot arrays as compile-time constants and ship them inside every
+        # remote-compile request (HTTP 413 at 16M rows)
         @jax.jit
-        def f(x):
+        def f(pA, x):
             # dependent chain in the padded 2D layout (how a solver inner
             # loop holds its vectors); the in-place prefix update keeps the
             # loop carry alias-friendly
@@ -204,7 +207,7 @@ def measure_ell_spmv(n: int = 1 << 20, delta: int = 200):
 
             return jax.lax.fori_loop(0, iters, body, x2d)
 
-        return f
+        return lambda x: f(pA, x)
 
     dt = _timed_pair(chain(delta // 4), chain(delta // 4 + delta), x, delta)
     return pA.nnz_dense * delta / dt
@@ -228,7 +231,7 @@ def measure_ell_spmm(n: int = 1 << 20, nvec: int = 4, delta: int = 100):
 
     def chain(iters):
         @jax.jit
-        def f(X):
+        def f(pA, X):
             x3d = pA.pad_X(X)
 
             def body(_, x3d):
@@ -237,7 +240,7 @@ def measure_ell_spmm(n: int = 1 << 20, nvec: int = 4, delta: int = 100):
 
             return jax.lax.fori_loop(0, iters, body, x3d)
 
-        return f
+        return lambda X: f(pA, X)
 
     dt = _timed_pair(chain(delta // 4), chain(delta // 4 + delta), X, delta)
     return pA.nnz_dense * nvec * delta / dt
@@ -268,8 +271,12 @@ def measure_spmv_16m(n: int = 16 * (1 << 20), delta: int = 30):
     from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
 
     A = banded_csr(n)
+    # nlt_step=16: the full-unroll windowed kernel's compile request
+    # exceeds the remote-compile tunnel's body limit (HTTP 413) at 16M
+    # rows; the split-unroll schedule ships 8x less program
     pA = PallasELL.build(A, dtype=jnp.float32,
-                         interpret=jax.default_backend() == "cpu")
+                         interpret=jax.default_backend() == "cpu",
+                         nlt_step=16)
     if pA is None:
         raise ValueError("PallasELL.build returned None at 16M rows")
     import numpy as np
@@ -278,7 +285,7 @@ def measure_spmv_16m(n: int = 16 * (1 << 20), delta: int = 30):
 
     def chain(iters):
         @jax.jit
-        def f(x):
+        def f(pA, x):
             x2d = pA.pad_x(x)
 
             def body(_, x2d):
@@ -287,7 +294,7 @@ def measure_spmv_16m(n: int = 16 * (1 << 20), delta: int = 30):
 
             return jax.lax.fori_loop(0, iters, body, x2d)
 
-        return f
+        return lambda x: f(pA, x)
 
     dt = _timed_pair(chain(delta // 3), chain(delta // 3 + delta), x, delta)
     return pA.nnz_dense * delta / dt

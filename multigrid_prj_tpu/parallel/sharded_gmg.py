@@ -492,7 +492,7 @@ class ShardedGMGSolver:
         maxit: int = 100,
         min_rows_per_shard: int = 8,
         use_pallas: bool | str = "auto",
-        use_grouped: bool = True,
+        use_grouped: bool | str = "auto",
     ):
         if len(shape) not in (2, 3):
             raise ValueError("sharded solver supports 2D and 3D grids")
@@ -502,9 +502,16 @@ class ShardedGMGSolver:
         if use_pallas == "auto":
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas)
-        # wide-halo grouped sweeps (one exchange per group, fused residual/
-        # restrict); False keeps the per-color-exchange schedule — the A/B
-        # baseline for benchmarks/scale_bench's attribution mode
+        # Wide-halo grouped sweeps (one exchange per group, fused residual/
+        # restrict): 36 vs 84 collective-permutes per V(2,2) cycle.  "auto"
+        # = True on TPU backends (on real ICI the per-collective latency x
+        # count is the structural cost the grouped schedule exists to cut)
+        # and False on CPU (virtual-device emulation runs collectives as
+        # shared-memory memcpys but schedules the extended-block program
+        # ~10x worse — measured in benchmarks/SCALING_r04.json's
+        # attribution table, which runs BOTH variants).
+        if use_grouped == "auto":
+            use_grouped = jax.default_backend() == "tpu"
         self.use_grouped = bool(use_grouped)
         self.mesh = mesh
         self._axes = row_axes(mesh)
