@@ -50,8 +50,10 @@ window of width <= ``Wq`` regardless of alignment — the same clamped-halo
 trick as the stencil kernels.  x is then read ~once per band overlap
 instead of held resident, so the kernel has NO row-count ceiling (the
 reference's CSR scan, ``AMG/src/CSRMatrix.cpp:24-52``, had none either).
-Measured on v5e: 16.8M rows at 77.5 G slots/s = 99.5% of the 1M-row
-VMEM-resident rate.
+Measured on v5e (BENCH_r04 artifact): 16.8M rows at 35.1 G slots/s with
+the split-unroll schedule (``nlt_step=16`` — the full-unroll program
+exceeds the remote-compile transport's size limit at this scale; on a
+directly attached host the full-unroll schedule applies).
 
 Per-lane-tile windows up to ``max_t_win`` (default 32) x-tiles are
 supported; each extra window tile adds ~3 VPU ops per (K, 128) slot tile,
