@@ -173,7 +173,7 @@ def measure_stencil_chains(n: int, iters: int):
     return fused, single, nnz
 
 
-def measure_ell_spmv(n: int = 1 << 20, delta: int = 200):
+def measure_ell_spmv(n: int = 1 << 20, delta: int = 600):
     """Pallas ELL SpMV nnz/s on an n-row banded system (ops/pallas_spmv).
 
     Differential timing (chain of K vs K+D dependent SpMVs, subtract) so
@@ -209,6 +209,8 @@ def measure_ell_spmv(n: int = 1 << 20, delta: int = 200):
 
         return lambda x: f(pA, x)
 
+    # delta=600 (~65 ms of kernel time): shorter chains measured 40-125 G
+    # across runs purely from tunnel jitter
     dt = _timed_pair(chain(delta // 4), chain(delta // 4 + delta), x, delta)
     return pA.nnz_dense * delta / dt
 
