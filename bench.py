@@ -560,6 +560,8 @@ def main() -> None:
         try:
             with _deadline(min(cap or extra_cap_s, left)):
                 out = _retry(fn)
+        except (KeyboardInterrupt, SystemExit):
+            raise
         except BaseException as e:  # _ExtraDeadline included
             extra[label + "_error"] = str(e)[:200]
             out = None

@@ -798,7 +798,7 @@ class AMGSolver:
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
                               np.asarray(hist)[: min(k, HIST_CAP) + 1],
-                              history_truncated=k >= HIST_CAP)
+                              history_truncated=k > HIST_CAP)
 
     def solve_refined(self, b, tol: float = 1e-10, maxit: int = 100):
         """Iterative refinement with ff32 extended-precision residuals.
@@ -910,7 +910,7 @@ class AMGSolver:
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
                               np.asarray(hist)[: min(k, HIST_CAP) + 1],
-                              history_truncated=k >= HIST_CAP)
+                              history_truncated=k > HIST_CAP)
 
     def solve_pcg(self, b, x0=None, tol: float = 1e-10, maxit: int = 200):
         """AMG-preconditioned conjugate gradients.
@@ -933,7 +933,7 @@ class AMGSolver:
         k = int(k)
         return AMGSolveResult(self._perm_out(x), k, float(rel),
                               np.asarray(hist)[: min(k, HIST_CAP) + 1],
-                              history_truncated=k >= HIST_CAP)
+                              history_truncated=k > HIST_CAP)
 
     # -- reference-compat sawtooth pass --------------------------------------
 

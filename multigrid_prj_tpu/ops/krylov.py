@@ -43,6 +43,7 @@ def bicgstab(
     maxit: Optional[int] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     history: bool = False,
+    hist_cap: Optional[int] = None,
 ) -> KrylovResult:
     """Preconditioned BiCGSTAB for ``A x = b``; returns :class:`KrylovResult`.
 

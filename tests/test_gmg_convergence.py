@@ -95,6 +95,23 @@ def test_matches_reference_solution_artifact():
     assert np.abs(got - ref).max() / scale < 1e-5
 
 
+def test_bicgstab_mg_preconditioned_converges():
+    """The -smt 2 CLI path: MG-preconditioned BiCGSTAB (cli/gmg_main.py:79).
+    Regression for the hist_cap NameError ADVICE r4 flagged — every call
+    raised before the fix."""
+    from multigrid_prj_tpu.ops.krylov import bicgstab
+    from multigrid_prj_tpu.ops.stencil import poisson_apply
+
+    solver, b = make_problem(n=65, levels=4)
+    h0 = solver.levels[0].h
+    A = lambda x: poisson_apply(x, solver.alpha, h0)
+    M = lambda r: solver.step(jnp.zeros_like(r), r)
+    res = bicgstab(A, b, tol=1e-11, maxit=50, M=M, history=True)
+    assert res.converged
+    assert res.iterations <= 10
+    assert res.history is not None and len(res.history) == res.iterations + 1
+
+
 def test_direct_coarse_solve_matches_smoothed():
     """coarse="direct" (precomputed dense inverse bottom solve, the default
     for v/w cycles) must converge at least as fast as the 100-sweep coarse
