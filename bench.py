@@ -273,17 +273,34 @@ def measure_spmv_16m(n: int = 16 * (1 << 20), delta: int = 30):
     from multigrid_prj_tpu.ops.pallas_spmv import PallasELL
 
     A = banded_csr(n)
-    # nlt_step=16: the full-unroll windowed kernel's compile request
-    # exceeds the remote-compile tunnel's body limit (HTTP 413) at 16M
-    # rows; the split-unroll schedule ships 8x less program
     pA = PallasELL.build(A, dtype=jnp.float32,
                          interpret=jax.default_backend() == "cpu",
                          nlt_step=16)
     if pA is None:
         raise ValueError("PallasELL.build returned None at 16M rows")
+    import dataclasses as _dc
+
     import numpy as np
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+
+    # schedule ladder (VERDICT r4 item 6): the full-unroll windowed kernel
+    # ran 62-78 G slots/s at 1M rows but its compile request exceeded the
+    # remote-compile tunnel's body limit (HTTP 413) at 16M; probe larger
+    # unroll steps first and keep the biggest one that compiles — this is
+    # ONE call site, so the per-site Mosaic lowering cost that forces
+    # nlt_step=16 inside deep AMG cycles does not apply
+    chosen = pA
+    for step in (0, 64, 32, 16):
+        cand = _dc.replace(pA, nlt_step=step)
+        try:
+            y = jax.jit(lambda p, v: p.spmv2d(v))(cand, cand.pad_x(x))
+            jax.block_until_ready(y)
+            chosen = cand
+            break
+        except Exception:
+            continue
+    pA = chosen
 
     def chain(iters):
         @jax.jit
@@ -299,7 +316,7 @@ def measure_spmv_16m(n: int = 16 * (1 << 20), delta: int = 30):
         return lambda x: f(pA, x)
 
     dt = _timed_pair(chain(delta // 3), chain(delta // 3 + delta), x, delta)
-    return pA.nnz_dense * delta / dt
+    return pA.nnz_dense * delta / dt, pA.nlt_step
 
 
 def measure_stencil3d(n: int = 256, iters: int = 20):
@@ -527,12 +544,51 @@ def main() -> None:
         "fused_group": FUSE,
     }
 
+    # Regression pin (VERDICT r4 item 8): diff every numeric extra against
+    # the newest committed BENCH_r*.json so a future round cannot silently
+    # lose a rate this round captured.  >20% in the bad direction flags.
+    prev_extra, prev_name = {}, None
+    try:
+        import glob
+
+        benches = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if benches:
+            prev_name = os.path.basename(benches[-1])
+            with open(benches[-1]) as fh:
+                prev = json.load(fh)
+            prev_extra = (prev.get("parsed") or {}).get("extra") or \
+                prev.get("extra") or {}
+    except Exception:
+        prev_extra = {}
+
+    def _regressions():
+        regs = {}
+        for k, old in prev_extra.items():
+            new = extra.get(k)
+            if k.startswith("t_"):  # harness wall bookkeeping, not a metric
+                continue
+            if not (isinstance(old, (int, float))
+                    and isinstance(new, (int, float)) and old > 0):
+                continue
+            # direction: throughputs (per_s) regress when lower; times
+            # (_ms/_s) regress when higher; other fields are not judged
+            if "per_s" in k:
+                if new < 0.8 * old:
+                    regs[k] = {"prev": old, "now": new}
+            elif k.endswith("_ms") or k.endswith("_s"):
+                if new > 1.2 * old:
+                    regs[k] = {"prev": old, "now": new}
+        return regs
+
     def emit():
         # The driver parses the LAST complete JSON line: print + flush the
         # headline the moment it exists, then re-emit (enriched) after every
         # extra, so a driver kill mid-extra can never zero the artifact
         # (round 3's failure mode: one line printed only at the very end,
         # rc=124 → parsed=null).
+        extra["regressions"] = _regressions()
+        extra["regressions_base"] = prev_name
         print(json.dumps({
             "metric": "stencil_spmv_nnz_per_s",
             "value": fused,
@@ -634,7 +690,9 @@ def main() -> None:
     emit()
     v = run_extra("spmv_16m", measure_spmv_16m)
     if v is not None:
-        extra["ell_spmv_16m_rows_nnz_per_s"] = v
+        rate, step = v
+        extra["ell_spmv_16m_rows_nnz_per_s"] = rate
+        extra["ell_spmv_16m_nlt_step"] = step  # 0 = full unroll
     emit()
 
 

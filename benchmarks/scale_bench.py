@@ -12,7 +12,7 @@ Two modes:
   ``benchmarks/run.py`` config5 at a configurable rows-per-device
   (``--rows-per-dev``, default 512 -> n = 4096 at P = 8, 84M nnz).
 
-Writes/updates ``benchmarks/SCALING_r04.json`` (one JSON object per mode).
+Writes/updates ``benchmarks/SCALING_r05.json`` (one JSON object per mode).
 
 Usage:
     python -m benchmarks.scale_bench --single
@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-OUT = os.path.join(os.path.dirname(__file__), "SCALING_r04.json")
+OUT = os.path.join(os.path.dirname(__file__), "SCALING_r05.json")
 
 
 def _fence(x):
@@ -49,24 +49,28 @@ def single_chip() -> dict:
     rec = {"mode": "single_chip", "backend": jax.default_backend(),
            "device": str(getattr(jax.devices()[0], "device_kind", "?"))}
 
-    # 8193^2 ff32 refined solve to 1e-7 (the largest size where refined
-    # convergence was characterized; 335M effective nnz)
+    # 8193^2 ff32 refined solve to 1e-7 (335M effective nnz).  inner_cg=4:
+    # each refinement step runs 4 iterations of MG-preconditioned CG on the
+    # f32 error equation (VERDICT r4 item 4) — the plain cycle's f32 rate
+    # degrades to ~0.78/cycle at this kappa and burned 59 outer iterations.
     n = 8193
     solver = GMGSolver(shape=(n, n), length=10.0, alpha=10.0, num_levels=8,
                        cycle="v", nu=2, pre_sweeps=2, tol=1e-7, maxit=200,
                        pad_align=256)
     b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
-    out = solver.solve_refined(b)  # compile
-    t0 = time.perf_counter()
-    out = solver.solve_refined(b)
-    _fence(out.u)
-    dt = time.perf_counter() - t0
     nnz = n * n + 4 * (n - 2) ** 2
-    rec["ff32_8193"] = {
-        "nnz": nnz, "iters": int(out.iterations),
-        "rel_residual": float(out.history[-1]),
-        "converged": bool(out.converged), "wall_s": dt,
-    }
+    for tag, inner in (("ff32_8193", 4), ("ff32_8193_plain", 0)):
+        out = solver.solve_refined(b, inner_cg=inner)  # compile
+        t0 = time.perf_counter()
+        out = solver.solve_refined(b, inner_cg=inner)
+        _fence(out.u)
+        dt = time.perf_counter() - t0
+        rec[tag] = {
+            "nnz": nnz, "iters": int(out.iterations),
+            "inner_cg": inner,
+            "rel_residual": float(out.history[-1]),
+            "converged": bool(out.converged), "wall_s": dt,
+        }
 
     # 16385^2 fixed-cycle throughput (1.3B effective nnz / cycle leg)
     n = 16385
@@ -174,6 +178,13 @@ def attribution(rows_per_dev: int) -> dict:
             "num_sharded_levels": solver.num_sharded,
         }
     rec["variants"] = variants
+    # the data-driven default (VERDICT r4 item 5): build once with
+    # use_grouped="measure" — the solver A/B-times both schedules on THIS
+    # mesh at construction and records the decision
+    ms = ShardedGMGSolver(shape=(n, n), mesh=mesh, num_levels=5,
+                          nu1=2, nu2=2, maxit=2, tol=0.0,
+                          use_grouped="measure")
+    rec["measured_schedule"] = ms.schedule_decision
 
     # microbench: one w=6 halo ppermute pair and one scalar psum
     from multigrid_prj_tpu.parallel.sharded_gmg import (
@@ -214,7 +225,8 @@ def attribution(rows_per_dev: int) -> dict:
                                         * rec["halo_pair_cost_s"]
                                         / v["cycle_s"])
     rec["note"] = (
-        "grouped cuts collective-permutes 84 -> 36 per V(2,2) cycle; on "
+        "grouped cuts collective-permutes 84 -> 28 per V(2,2) cycle "
+        "(shared per-level-visit b-halo exchange, r5); on "
         "this CPU emulation collectives are shared-memory memcpys and the "
         "extended-block compute schedules ~5x worse, so per_color wins the "
         "CPU wall clock (the sweep default) — on real ICI the per-"

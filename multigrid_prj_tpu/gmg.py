@@ -374,7 +374,11 @@ class GMGSolver:
             self._coarse_inv = self._build_coarse_inverse()
         self._jit_solve = jax.jit(self._solve_impl)
 
-    def _build_coarse_inverse(self, max_nodes: int = 4096):
+    def _build_coarse_inverse(self, max_nodes: int = 4608):
+        # 4608 admits the 66^2/65^2 coarsest buffers of the 8193^2/16385^2
+        # 8/9-level hierarchies (np.linalg.inv at 4356 nodes ~ 5 s host,
+        # one-time; the alternative is 100 smoother sweeps at the bottom of
+        # EVERY cycle)
         """Dense inverse of the coarsest-level stencil operator.
 
         Rows follow the masked operator exactly (``ops/stencil.py``):
@@ -508,7 +512,7 @@ class GMGSolver:
             u = crop_to(u, lev0.shape)
         return u, k, hist
 
-    def _solve_impl_ff(self, b_logical, cinv=None):
+    def _solve_impl_ff(self, b_logical, cinv=None, inner_cg: int = 0):
         """Iterative refinement: f32 cycles against a float-float residual
         (ops/extended.py) — reaches ~1e-8 relative residual on grids where
         plain f32 floors at eps_f32 * kappa(A).
@@ -553,9 +557,50 @@ class GMGSolver:
             _, _, _, k, hist = state
             return (k < self.maxit) & (hist[k] > self.tol)
 
+        if inner_cg:
+            # inner correction solve = ``inner_cg`` iterations of V-cycle-
+            # preconditioned CG on the f32 error equation A e = r, instead
+            # of a single V-cycle.  At large kappa (8193^2: the plain cycle's
+            # f32 error reduction degrades to ~0.78/cycle) CG squeezes far
+            # more reduction out of the same number of cycles, and the
+            # expensive extended residual is evaluated once per OUTER
+            # iteration either way.  Composition of the framework's own
+            # Krylov component (ops/krylov.py; reference analog
+            # GeometricMultigrid/include/solvers.hpp:86-216) with MG.
+            from multigrid_prj_tpu.ops.krylov import cg_arrays
+            from multigrid_prj_tpu.ops.stencil import boundary_mask
+
+            if self._use_pallas:
+                from multigrid_prj_tpu.ops import pallas_stencil as _ps
+                apply_fn = _ps.poisson_apply
+            else:
+                from multigrid_prj_tpu.ops.stencil import (
+                    poisson_apply as apply_fn,
+                )
+            bmask = boundary_mask(b.shape, self._logical0)
+
+            def inner_solve(r):
+                # A with Dirichlet identity rows is NOT symmetric on the
+                # full space (interior rows couple to boundary columns but
+                # not vice versa) — CG breaks down there (measured: stall/
+                # NaN at 257^2).  On the zero-boundary subspace A is exactly
+                # the SPD interior operator, and A, M both preserve that
+                # subspace; so run CG on the interior part and solve the
+                # identity rows directly.
+                r_i = jnp.where(bmask, 0.0, r)
+                e, _, _, _ = cg_arrays(
+                    lambda v: apply_fn(v, self.alpha, h0, self._logical0),
+                    r_i, tol=0.0, maxit=inner_cg,
+                    M=lambda rr: self._error_cycle(rr, cinv),
+                )
+                return jnp.where(bmask, r, e)
+        else:
+            def inner_solve(r):
+                return self._error_cycle(r, cinv)
+
         def body(state):
             u_hi, u_lo, r, k, hist = state
-            e = self._error_cycle(r, cinv)
+            e = inner_solve(r)
             u_hi, u_lo = ff_accumulate(u_hi, u_lo, e)
             r = residual(u_hi, u_lo)
             hist = hist.at[k + 1].set(rel(r))
@@ -569,7 +614,7 @@ class GMGSolver:
             u = crop_to(u, lev0.shape)
         return u, k, hist
 
-    def solve_refined(self, b: jax.Array) -> SolveResult:
+    def solve_refined(self, b: jax.Array, inner_cg: int = 0) -> SolveResult:
         """Solve with float-float outer residuals (TPU-native f64 substitute).
 
         Use on f32 backends when the plain-f32 floor ``~6e-8 * (N/pi)^2``
@@ -580,13 +625,18 @@ class GMGSolver:
         ``max(cycle_rate, C * eps_f32 * kappa(A))`` because the inner f32
         cycle's own roundoff caps how accurately each correction solves the
         error equation.  Through 2049^2 that keeps the full multigrid rate
-        (1025^2: 1.8e-9 in 9 cycles); at 8193^2 the rate degrades to ~0.78
-        per cycle but convergence to 1e-7 remains (~70 cycles, ~5 s on v5e)
-        — territory plain f32 cannot reach at all (floor 0.38 there).
+        (1025^2: 1.8e-9 in 9 cycles); at 8193^2 the plain rate degrades to
+        ~0.78 per cycle — pass ``inner_cg = k > 0`` there to replace each
+        refinement's single V-cycle with ``k`` iterations of MG-
+        preconditioned CG on the f32 error equation, which recovers most of
+        the lost rate per extended-residual evaluation.
         """
-        if not hasattr(self, "_jit_solve_ff"):
-            self._jit_solve_ff = jax.jit(self._solve_impl_ff)
-        u, k, hist = self._jit_solve_ff(b, self._coarse_inv)
+        if not hasattr(self, "_jit_solve_ff_cache"):
+            self._jit_solve_ff_cache = {}
+        if inner_cg not in self._jit_solve_ff_cache:
+            self._jit_solve_ff_cache[inner_cg] = jax.jit(
+                partial(self._solve_impl_ff, inner_cg=inner_cg))
+        u, k, hist = self._jit_solve_ff_cache[inner_cg](b, self._coarse_inv)
         # one batched host fetch for the control outputs: separate int(k) /
         # hist[-1] fetches cost a ~10-40 ms tunnel round trip EACH, several
         # times the 9-iteration solve's ~2 ms of on-chip compute

@@ -50,8 +50,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and not _build():
-        return None
+    src = os.path.join(_HERE, "native", "mgtpu.cpp")
+    stale = (os.path.exists(_SO) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if (not os.path.exists(_SO) or stale) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -71,6 +75,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mgtpu_greedy_coarsen.restype = ctypes.c_int
     lib.mgtpu_greedy_coarsen.argtypes = [
         _LL, _PLL, _PLL, _LL, ctypes.POINTER(ctypes.c_byte)
+    ]
+    lib.mgtpu_spgemm.restype = _LL
+    lib.mgtpu_spgemm.argtypes = [
+        _LL, _LL, _PLL, _PLL, _PD, _PLL, _PLL, _PD,
+        ctypes.POINTER(_PLL), ctypes.POINTER(_PLL), ctypes.POINTER(_PD),
+    ]
+    lib.mgtpu_csr_transpose.restype = ctypes.c_int
+    lib.mgtpu_csr_transpose.argtypes = [
+        _LL, _LL, _PLL, _PLL, _PD, _PLL, _PLL, _PD,
     ]
     lib.mgtpu_parse_msh.restype = ctypes.c_int
     lib.mgtpu_parse_msh.argtypes = [
@@ -119,6 +132,60 @@ def coo_to_csr(rows, cols, vals, n_rows: int):
     indices = _copy_free(lib, o_indices, nnz, np.int64, _LL)
     data = _copy_free(lib, o_data, nnz, np.float64, ctypes.c_double)
     return indptr, indices, data
+
+
+def spgemm(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
+           n: int, m_out: int):
+    """Native Gustavson SpGEMM ``C = A @ B``; returns (indptr, indices,
+    data) or None if no lib.  Same contribution order as the NumPy
+    expansion path: identical structure, values to the last ulp — see
+    native/mgtpu.cpp."""
+    lib = _load()
+    if lib is None:
+        return None
+    a_indptr, a_indices = _as_ll(a_indptr), _as_ll(a_indices)
+    b_indptr, b_indices = _as_ll(b_indptr), _as_ll(b_indices)
+    a_data = np.ascontiguousarray(np.asarray(a_data, dtype=np.float64))
+    b_data = np.ascontiguousarray(np.asarray(b_data, dtype=np.float64))
+    o_indptr, o_indices, o_data = _PLL(), _PLL(), _PD()
+    nnz = lib.mgtpu_spgemm(
+        _LL(n), _LL(m_out),
+        a_indptr.ctypes.data_as(_PLL), a_indices.ctypes.data_as(_PLL),
+        a_data.ctypes.data_as(_PD),
+        b_indptr.ctypes.data_as(_PLL), b_indices.ctypes.data_as(_PLL),
+        b_data.ctypes.data_as(_PD),
+        ctypes.byref(o_indptr), ctypes.byref(o_indices), ctypes.byref(o_data),
+    )
+    if nnz < 0:
+        raise ValueError("mgtpu_spgemm failed (column index out of range?)")
+    indptr = _copy_free(lib, o_indptr, n + 1, np.int64, _LL)
+    indices = _copy_free(lib, o_indices, nnz, np.int64, _LL)
+    data = _copy_free(lib, o_data, nnz, np.float64, ctypes.c_double)
+    return indptr, indices, data
+
+
+def csr_transpose(indptr, indices, data, n: int, m: int):
+    """Native counting-sort CSR transpose; returns (indptr, indices, data)
+    or None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices = _as_ll(indptr), _as_ll(indices)
+    data = np.ascontiguousarray(np.asarray(data, dtype=np.float64))
+    nnz = int(indptr[-1])
+    o_indptr = np.zeros(m + 1, dtype=np.int64)
+    o_indices = np.zeros(nnz, dtype=np.int64)
+    o_data = np.zeros(nnz, dtype=np.float64)
+    rc = lib.mgtpu_csr_transpose(
+        _LL(n), _LL(m),
+        indptr.ctypes.data_as(_PLL), indices.ctypes.data_as(_PLL),
+        data.ctypes.data_as(_PD),
+        o_indptr.ctypes.data_as(_PLL), o_indices.ctypes.data_as(_PLL),
+        o_data.ctypes.data_as(_PD),
+    )
+    if rc != 0:
+        raise ValueError("mgtpu_csr_transpose failed")
+    return o_indptr, o_indices, o_data
 
 
 def greedy_coloring(indptr, indices, n: int):

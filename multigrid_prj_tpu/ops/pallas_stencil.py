@@ -98,6 +98,72 @@ def _pick_block_rows_fused(n: int, m: int, n_temps: int = 5,
     return None
 
 
+def _pick_blocks_fused_2d(n: int, m: int, n_temps: int = 5, ring: int = 16,
+                          budget: int | None = None,
+                          n_in: int = 2) -> tuple[int, int] | None:
+    """(row-block, col-block) for COLUMN-TILED fused kernels on wide grids.
+
+    The 1D fused kernels hold full-width (r + ring, m) temporaries in VMEM,
+    which stops fitting around m ~ 16k (the 16385^2 padded width 16640 —
+    the at-scale cliff VERDICT r4 weak #1 measured).  Column tiling makes
+    the extended block (r + ring, mc + 256): 8-row halos vertically plus
+    128-lane halos horizontally (the lane-block minimum), assembled from 9
+    block refs per operand.  The temporal-blocking ring argument holds per
+    axis — corruption travels one row AND one column per color pass, so 8
+    valid halo rows / 128 halo columns keep the core rows bit-identical to
+    separate launches for up to 4 fused sweeps.
+
+    Returns the candidate maximizing the core fraction
+    ``(r * mc) / ((r + ring) * (mc + 256))`` under the VMEM budget (the
+    fused sweeps are VPU-bound, so redundant halo compute is the cost that
+    matters), or None if nothing fits.
+    """
+    if budget is None:
+        budget = _VMEM_BUDGET
+    best = None
+    best_eff = 0.0
+    mcs = [k * _LANE for k in range(1, m // _LANE + 1)
+           if m % (k * _LANE) == 0 and k * _LANE <= 8192]
+    for mc in mcs:
+        for r in (256, 128, 64, 48, 32, 24, 16, 8):
+            if n % r:
+                continue
+            ext_r, ext_c = r + ring, mc + 2 * _LANE
+            in_words = n_in * (r * mc + 2 * 8 * mc + 2 * r * _LANE
+                               + 4 * 8 * _LANE)
+            out_words = r * mc
+            bytes_needed = (2 * (in_words + out_words) * 4
+                            + n_temps * ext_r * ext_c * 4)
+            if bytes_needed > budget:
+                continue
+            eff = (r * mc) / (ext_r * ext_c)
+            if eff > best_eff:
+                best_eff, best = eff, (r, mc)
+    return best
+
+
+def _fused_1d_or_2d(n: int, m: int, n_temps: int = 5, ring: int = 16,
+                    budget: int | None = None, n_in: int = 2):
+    """Pick the better of full-width (1D) and column-tiled (2D) fused
+    blocking by core fraction.  Returns ``(r, None)`` for 1D, ``(r, mc)``
+    for 2D, or None."""
+    r1 = _pick_block_rows_fused(n, m, n_temps=n_temps, ring=ring,
+                                budget=budget)
+    cand2 = _pick_blocks_fused_2d(n, m, n_temps=n_temps, ring=max(ring, 1),
+                                  budget=budget, n_in=n_in)
+    eff1 = (r1 / (r1 + ring)) if (r1 is not None and ring) else \
+        (1.0 if r1 is not None else 0.0)
+    eff2 = 0.0
+    if cand2 is not None:
+        r2, mc2 = cand2
+        eff2 = (r2 * mc2) / ((r2 + max(ring, 1)) * (mc2 + 2 * _LANE))
+    if r1 is None and cand2 is None:
+        return None
+    if cand2 is not None and eff2 > eff1:
+        return cand2
+    return (r1, None)
+
+
 def _is_supported(shape, dtype) -> bool:
     if len(shape) != 2:
         return False
@@ -129,6 +195,52 @@ def _edge_specs(n: int, m: int, r: int):
         memory_space=pltpu.VMEM,
     )
     return center, north, south
+
+
+def _edge_specs_2d(n: int, m: int, r: int, mc: int):
+    """Block specs for the column-tiled extended block: center, N/S 8-row
+    halos, E/W 128-lane halos, and the 4 corners (8 x 128).  Index maps
+    clamp at the grid edges, aliasing in garbage that only reaches
+    Dirichlet-pinned cells (same invariant as :func:`_edge_specs`)."""
+    rb, cb = r // 8, mc // _LANE
+    nbr, nbc = n // 8 - 1, m // _LANE - 1  # max 8-row / 128-lane block index
+
+    def bs(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    lo = jnp.maximum
+    hi = jnp.minimum
+    return [
+        bs((r, mc), lambda i, j: (i, j)),                                   # C
+        bs((8, mc), lambda i, j: (lo(i * rb - 1, 0), j)),                   # N
+        bs((8, mc), lambda i, j: (hi((i + 1) * rb, nbr), j)),               # S
+        bs((r, _LANE), lambda i, j: (i, lo(j * cb - 1, 0))),                # W
+        bs((r, _LANE), lambda i, j: (i, hi((j + 1) * cb, nbc))),            # E
+        bs((8, _LANE), lambda i, j: (lo(i * rb - 1, 0), lo(j * cb - 1, 0))),
+        bs((8, _LANE), lambda i, j: (lo(i * rb - 1, 0), hi((j + 1) * cb, nbc))),
+        bs((8, _LANE), lambda i, j: (hi((i + 1) * rb, nbr), lo(j * cb - 1, 0))),
+        bs((8, _LANE), lambda i, j: (hi((i + 1) * rb, nbr), hi((j + 1) * cb, nbc))),
+    ]
+
+
+def _assemble_ext(c_, n_, s_, w_, e_, nw_, ne_, sw_, se_):
+    """(r + 16, mc + 256) extended block from the 9 halo refs."""
+    top = jnp.concatenate([nw_, n_, ne_], axis=1)
+    mid = jnp.concatenate([w_, c_, e_], axis=1)
+    bot = jnp.concatenate([sw_, s_, se_], axis=1)
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
+def _ext_coords(r: int, mc: int, ring_r: int = 8):
+    """Global (row, col) index arrays for the extended block at grid cell
+    (program_id(0), program_id(1))."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    ext_r, ext_c = r + 2 * ring_r, mc + 2 * _LANE
+    row = (i * r - ring_r
+           + jax.lax.broadcasted_iota(jnp.int32, (ext_r, ext_c), 0))
+    col = (j * mc - _LANE
+           + jax.lax.broadcasted_iota(jnp.int32, (ext_r, ext_c), 1))
+    return row, col
 
 
 def _masks(i, r, m, nl, ml):
@@ -220,7 +332,10 @@ def _fused_rbgs_passes(x, bx, row, col, c, nl, ml, sweeps, m):
     block ``x`` with global (row, col) index arrays.  Each color pass
     reproduces one :func:`_rbgs_color_kernel` launch bit-exactly: update
     this color's interior points, then pin boundary rows to b."""
-    boundary = (row <= 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
+    # col <= 0 (not == 0): the column-tiled extended blocks carry NEGATIVE
+    # col indices in the west halo; pinning them is harmless in 1D (col is
+    # never negative there) and keeps halo garbage from evolving in 2D
+    boundary = (row <= 0) | (row >= nl - 1) | (col <= 0) | (col >= ml - 1)
     parity = (row + col) % 2
     b_over_c = bx * (1.0 / c)
     for _ in range(sweeps):
@@ -233,6 +348,100 @@ def _fused_rbgs_passes(x, bx, row, col, c, nl, ml, sweeps, m):
             x = jnp.where(boundary, bx,
                           jnp.where(parity == color, gs, x))
     return x
+
+
+def _fused_jacobi_passes(x, bx, row, col, c, nl, ml, sweeps, m, omega):
+    """``sweeps`` damped-Jacobi sweeps on the extended block (the shared
+    body of the 1D and column-tiled fused Jacobi kernels)."""
+    boundary = (row <= 0) | (row >= nl - 1) | (col <= 0) | (col >= ml - 1)
+    b_over_c = bx * (1.0 / c)
+    for _ in range(sweeps):
+        north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+        south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+        west = pltpu.roll(x, 1, axis=1)
+        east = pltpu.roll(x, m - 1, axis=1)
+        jac = (b_over_c + north + south + east + west) * 0.25
+        if omega != 1.0:
+            jac = (1.0 - omega) * x + omega * jac
+        x = jnp.where(boundary, bx, jac)
+    return x
+
+
+def _fused_apply_passes(x, row, col, c, nl, ml, applies, m):
+    """``A^applies`` on the extended block (shared 1D/2D body)."""
+    boundary = (row <= 0) | (row >= nl - 1) | (col <= 0) | (col >= ml - 1)
+    for _ in range(applies):
+        north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+        south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+        west = pltpu.roll(x, 1, axis=1)
+        east = pltpu.roll(x, m - 1, axis=1)
+        stencil = c * (4.0 * x - north - south - east - west)
+        x = jnp.where(boundary, x, stencil)
+    return x
+
+
+def _rbgs_fused2d_kernel(*refs, c, r, mc, nl, ml, sweeps):
+    """Column-tiled fused RB-GS: refs = 9 u blocks + 9 b blocks + out."""
+    u_refs, b_refs, out_ref = refs[:9], refs[9:18], refs[18]
+    x = _assemble_ext(*(rf[:] for rf in u_refs))
+    bx = _assemble_ext(*(rf[:] for rf in b_refs))
+    row, col = _ext_coords(r, mc)
+    x = _fused_rbgs_passes(x, bx, row, col, c, nl, ml, sweeps, mc + 2 * _LANE)
+    out_ref[:] = x[_HALO:_HALO + r, _LANE:_LANE + mc]
+
+
+def _jacobi_fused2d_kernel(*refs, c, r, mc, nl, ml, omega, sweeps):
+    u_refs, b_refs, out_ref = refs[:9], refs[9:18], refs[18]
+    x = _assemble_ext(*(rf[:] for rf in u_refs))
+    bx = _assemble_ext(*(rf[:] for rf in b_refs))
+    row, col = _ext_coords(r, mc)
+    x = _fused_jacobi_passes(x, bx, row, col, c, nl, ml, sweeps,
+                             mc + 2 * _LANE, omega)
+    out_ref[:] = x[_HALO:_HALO + r, _LANE:_LANE + mc]
+
+
+def _apply_fused2d_kernel(*refs, c, r, mc, nl, ml, applies):
+    u_refs, out_ref = refs[:9], refs[9]
+    x = _assemble_ext(*(rf[:] for rf in u_refs))
+    row, col = _ext_coords(r, mc)
+    x = _fused_apply_passes(x, row, col, c, nl, ml, applies, mc + 2 * _LANE)
+    out_ref[:] = x[_HALO:_HALO + r, _LANE:_LANE + mc]
+
+
+def _call_fused2d(kernel, operands, n, m, r, mc, dst=None, **kw):
+    """Invoke a column-tiled fused kernel: each operand is passed through
+    the 9 halo block specs of :func:`_edge_specs_2d`; optional ping-pong
+    ``dst`` (same never-read-aliased-input trick as :func:`_call`)."""
+    specs9 = _edge_specs_2d(n, m, r, mc)
+    in_specs = specs9 * len(operands)
+    inputs = tuple(op for op in operands for _ in range(9))
+    out_spec = pl.BlockSpec((r, mc), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    body = _kp(kernel, r=r, mc=mc, **kw)
+    alias = {}
+    if dst is not None:
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+        alias = {len(inputs): 0}
+        inputs = inputs + (dst,)
+        inner = body
+
+        def body(*refs):  # drop the never-read dst ref
+            return inner(*refs[:-2], refs[-1])
+
+    sweeps = kw.get("sweeps", kw.get("applies", 1))
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((n, m), operands[0].dtype),
+        grid=(n // r, m // mc),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        input_output_aliases=alias,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sweeps * 6 * n * m,
+            bytes_accessed=(len(operands) + 1) * 4 * n * m,
+            transcendentals=0,
+        ),
+    )(*inputs)
 
 
 def _rbgs_fused_kernel(u_ref, un_ref, us_ref, b_ref, bn_ref, bs_ref, out_ref,
@@ -478,14 +687,7 @@ def _apply_fused_kernel(u_ref, un_ref, us_ref, out_ref, *, c, m, r, nl, ml,
     x = jnp.concatenate([un_ref[:], u_ref[:], us_ref[:]], axis=0)
     row = i * r - _HALO + jax.lax.broadcasted_iota(jnp.int32, (ext, m), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ext, m), 1)
-    boundary = (row <= 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
-    for _ in range(applies):
-        north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
-        south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
-        west = pltpu.roll(x, 1, axis=1)
-        east = pltpu.roll(x, m - 1, axis=1)
-        stencil = c * (4.0 * x - north - south - east - west)
-        x = jnp.where(boundary, x, stencil)
+    x = _fused_apply_passes(x, row, col, c, nl, ml, applies, m)
     out_ref[:] = x[_HALO:_HALO + r, :]
 
 
@@ -510,40 +712,45 @@ def poisson_apply_chain(u: jax.Array, alpha: float, h: float, applies: int,
     # chain-kernel budget: ~2 live extended temps; 15 MB admits the
     # measured-fastest r=48 at m=8192 (r=64 measured 0.5 MB over the
     # 16 MB scoped limit and is correctly rejected)
-    r = _pick_block_rows_fused(n, m, n_temps=2, budget=15 * 1024 * 1024)
-    if r is None:  # wide grid: chain single-pass applies instead
+    pick = _fused_1d_or_2d(n, m, n_temps=2, budget=15 * 1024 * 1024, n_in=1)
+    if pick is None:  # no fused tiling: chain single-pass applies instead
         x = u
         for _ in range(applies):
             x = poisson_apply(x, alpha, h, logical_shape)
         return x
+    r, mc = pick
+    nl, ml = (int(logical_shape[0]), int(logical_shape[1])) \
+        if logical_shape is not None else (n, m)
 
-    def group(x, y, s):
-        def body(*refs):  # (u, un, us, out)
-            return _apply_fused_kernel(*refs, c=c, m=m, r=r,
-                                       nl=(int(logical_shape[0])
-                                           if logical_shape else n),
-                                       ml=(int(logical_shape[1])
-                                           if logical_shape else m),
-                                       applies=s)
+    if mc is not None:
+        def group(x, y, s):
+            return _call_fused2d(_apply_fused2d_kernel, (x,), n, m, r, mc,
+                                 dst=y, c=c, nl=nl, ml=ml, applies=s)
+    else:
+        def group(x, y, s):
+            def body(*refs):  # (u, un, us, out)
+                return _apply_fused_kernel(*refs, c=c, m=m, r=r, nl=nl,
+                                           ml=ml, applies=s)
 
-        center, north, south = _edge_specs(n, m, r)
-        in_specs = [center, north, south, pl.BlockSpec(memory_space=pl.ANY)]
+            center, north, south = _edge_specs(n, m, r)
+            in_specs = [center, north, south,
+                        pl.BlockSpec(memory_space=pl.ANY)]
 
-        def wrapped(*refs):  # drop the never-read dst ref
-            return body(*refs[:-2], refs[-1])
+            def wrapped(*refs):  # drop the never-read dst ref
+                return body(*refs[:-2], refs[-1])
 
-        return pl.pallas_call(
-            wrapped,
-            out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
-            grid=(n // r,),
-            in_specs=in_specs,
-            out_specs=center,
-            input_output_aliases={3: 0},
-            cost_estimate=pl.CostEstimate(
-                flops=s * 6 * n * m, bytes_accessed=2 * 4 * n * m,
-                transcendentals=0,
-            ),
-        )(x, x, x, y)
+            return pl.pallas_call(
+                wrapped,
+                out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
+                grid=(n // r,),
+                in_specs=in_specs,
+                out_specs=center,
+                input_output_aliases={3: 0},
+                cost_estimate=pl.CostEstimate(
+                    flops=s * 6 * n * m, bytes_accessed=2 * 4 * n * m,
+                    transcendentals=0,
+                ),
+            )(x, x, x, y)
 
     if dst is not None and applies <= _MAX_FUSED_APPLIES:
         return group(u, dst, applies)
@@ -563,17 +770,7 @@ def _jacobi_fused_kernel(u_ref, un_ref, us_ref, b_ref, bn_ref, bs_ref,
     bx = jnp.concatenate([bn_ref[:], b_ref[:], bs_ref[:]], axis=0)
     row = i * r - _HALO + jax.lax.broadcasted_iota(jnp.int32, (ext, m), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ext, m), 1)
-    boundary = (row <= 0) | (row >= nl - 1) | (col == 0) | (col >= ml - 1)
-    b_over_c = bx * (1.0 / c)
-    for _ in range(sweeps):
-        north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
-        south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
-        west = pltpu.roll(x, 1, axis=1)
-        east = pltpu.roll(x, m - 1, axis=1)
-        jac = (b_over_c + north + south + east + west) * 0.25
-        if omega != 1.0:
-            jac = (1.0 - omega) * x + omega * jac
-        x = jnp.where(boundary, bx, jac)
+    x = _fused_jacobi_passes(x, bx, row, col, c, nl, ml, sweeps, m, omega)
     out_ref[:] = x[_HALO:_HALO + r, :]
 
 
@@ -859,18 +1056,26 @@ def red_black_gauss_seidel(u, b, alpha, h, sweeps: int = 1, omega: float = 1.0,
                                           logical_shape=logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    r = _pick_block_rows_fused(n, m)
-    if r is None:  # wide grid: fused working set exceeds VMEM
+    pick = _fused_1d_or_2d(n, m)
+    if pick is None:  # no fused tiling fits VMEM at all
         from multigrid_prj_tpu.ops import smoothers as _sm
 
         return _sm.red_black_gauss_seidel(u, b, alpha, h, sweeps=sweeps,
                                           omega=omega,
                                           logical_shape=logical_shape)
+    r, mc = pick
+    nl, ml = (int(logical_shape[0]), int(logical_shape[1])) \
+        if logical_shape is not None else (n, m)
 
-    def group(x, y, s):
-        """s fused sweeps: x -> y's buffer."""
-        return _call_fused(_rbgs_fused_kernel, x, b, n, m, r, s,
-                           logical_shape=logical_shape, dst=y, c=c)
+    if mc is None:
+        def group(x, y, s):
+            """s fused sweeps: x -> y's buffer."""
+            return _call_fused(_rbgs_fused_kernel, x, b, n, m, r, s,
+                               logical_shape=logical_shape, dst=y, c=c)
+    else:
+        def group(x, y, s):
+            return _call_fused2d(_rbgs_fused2d_kernel, (x, b), n, m, r, mc,
+                                 dst=y, c=c, nl=nl, ml=ml, sweeps=s)
 
     return _pingpong_groups(group, u, sweeps, _MAX_FUSED_SWEEPS)
 
@@ -914,16 +1119,25 @@ def jacobi(u, b, alpha, h, omega: float = 1.0, sweeps: int = 1,
                           logical_shape=logical_shape)
     n, m = u.shape
     c = alpha / (h * h)
-    r = _pick_block_rows_fused(n, m)
-    if r is None:  # wide grid: fused working set exceeds VMEM
+    pick = _fused_1d_or_2d(n, m)
+    if pick is None:  # no fused tiling fits VMEM at all
         from multigrid_prj_tpu.ops import smoothers as _sm
 
         return _sm.jacobi(u, b, alpha, h, omega=omega, sweeps=sweeps,
                           logical_shape=logical_shape)
+    r, mc = pick
+    nl, ml = (int(logical_shape[0]), int(logical_shape[1])) \
+        if logical_shape is not None else (n, m)
 
-    def group(x, y, s):
-        return _call_fused(_jacobi_fused_kernel, x, b, n, m, r, s,
-                           logical_shape=logical_shape, dst=y, c=c,
-                           omega=omega)
+    if mc is None:
+        def group(x, y, s):
+            return _call_fused(_jacobi_fused_kernel, x, b, n, m, r, s,
+                               logical_shape=logical_shape, dst=y, c=c,
+                               omega=omega)
+    else:
+        def group(x, y, s):
+            return _call_fused2d(_jacobi_fused2d_kernel, (x, b), n, m, r, mc,
+                                 dst=y, c=c, nl=nl, ml=ml, omega=omega,
+                                 sweeps=s)
 
     return _pingpong_groups(group, u, sweeps, _MAX_FUSED_JACOBI)

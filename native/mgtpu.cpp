@@ -90,6 +90,101 @@ long long mgtpu_coo_to_csr(long long n_rows, long long nnz_in,
 }
 
 // ---------------------------------------------------------------------------
+// SpGEMM: C = A (n x k) * B (k x m), CSR in / CSR out, Gustavson with a
+// dense accumulator.  Accumulation visits A's row entries and B's rows in
+// CSR order — the same contribution ORDER as the Python expansion +
+// stable-sort + reduceat path (ops/sparse.py HostCSR.matmul); sums agree
+// to the last ulp (reduceat's pairwise segment summation can differ by
+// 1 ulp), structure (indptr/indices) is identical.  Exact zeros are
+// dropped (copy_from semantics); each output row is sorted by column.
+// Returns nnz or -1.
+// ---------------------------------------------------------------------------
+long long mgtpu_spgemm(long long n, long long m_out,
+                       const long long *a_indptr, const long long *a_indices,
+                       const double *a_data, const long long *b_indptr,
+                       const long long *b_indices, const double *b_data,
+                       long long **out_indptr, long long **out_indices,
+                       double **out_data) {
+  std::vector<long long> next(m_out, -2);  // -2 = untouched this row
+  std::vector<double> accum(m_out, 0.0);
+  std::vector<long long> c_cols;
+  std::vector<double> c_vals;
+  auto *indptr =
+      static_cast<long long *>(std::malloc(sizeof(long long) * (n + 1)));
+  if (!indptr) return -1;
+  indptr[0] = 0;
+  std::vector<long long> touched;
+  std::vector<std::pair<long long, double>> row_buf;
+  for (long long i = 0; i < n; ++i) {
+    touched.clear();
+    for (long long ka = a_indptr[i]; ka < a_indptr[i + 1]; ++ka) {
+      long long k = a_indices[ka];
+      double a = a_data[ka];
+      for (long long kb = b_indptr[k]; kb < b_indptr[k + 1]; ++kb) {
+        long long j = b_indices[kb];
+        if (j < 0 || j >= m_out) { std::free(indptr); return -1; }
+        if (next[j] == -2) {
+          next[j] = 1;
+          accum[j] = a * b_data[kb];
+          touched.push_back(j);
+        } else {
+          accum[j] += a * b_data[kb];
+        }
+      }
+    }
+    row_buf.clear();
+    for (long long j : touched) {
+      if (accum[j] != 0.0) row_buf.emplace_back(j, accum[j]);
+      next[j] = -2;
+    }
+    std::sort(row_buf.begin(), row_buf.end());
+    for (auto &cv : row_buf) {
+      c_cols.push_back(cv.first);
+      c_vals.push_back(cv.second);
+    }
+    indptr[i + 1] = (long long)c_cols.size();
+  }
+  long long nnz = (long long)c_cols.size();
+  auto *indices =
+      static_cast<long long *>(std::malloc(sizeof(long long) * nnz));
+  auto *data = static_cast<double *>(std::malloc(sizeof(double) * nnz));
+  if (!indices || !data) { std::free(indptr); return -1; }
+  std::memcpy(indices, c_cols.data(), sizeof(long long) * nnz);
+  std::memcpy(data, c_vals.data(), sizeof(double) * nnz);
+  *out_indptr = indptr;
+  *out_indices = indices;
+  *out_data = data;
+  return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// CSR transpose via counting sort: (n x m) -> (m x n), O(nnz), rows of the
+// output sorted by construction.  Returns 0 or -1.
+// ---------------------------------------------------------------------------
+int mgtpu_csr_transpose(long long n, long long m, const long long *indptr,
+                        const long long *indices, const double *data,
+                        long long *out_indptr, long long *out_indices,
+                        double *out_data) {
+  long long nnz = indptr[n];
+  std::memset(out_indptr, 0, sizeof(long long) * (m + 1));
+  for (long long k = 0; k < nnz; ++k) {
+    long long j = indices[k];
+    if (j < 0 || j >= m) return -1;
+    out_indptr[j + 1]++;
+  }
+  for (long long j = 0; j < m; ++j) out_indptr[j + 1] += out_indptr[j];
+  std::vector<long long> pos(out_indptr, out_indptr + m);
+  for (long long i = 0; i < n; ++i) {
+    for (long long k = indptr[i]; k < indptr[i + 1]; ++k) {
+      long long p = pos[indices[k]]++;
+      out_indices[p] = i;
+      out_data[p] = data[k];
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Greedy graph coloring over a CSR adjacency (diagonal ignored).
 // Returns the number of colors, or -1 on error.
 // ---------------------------------------------------------------------------

@@ -80,3 +80,20 @@ def test_refined_with_padded_layout():
     b = assemble_rhs(s.levels[0], 10.0, test=1, dtype=jnp.float32)
     out = s.solve_refined(b)
     assert out.converged and out.u.shape == (n, n)
+
+
+def test_refined_inner_cg_converges_fewer_outer_iters():
+    """inner_cg=k wraps each refinement step's correction in k iterations of
+    MG-preconditioned CG (VERDICT r4 item 4): same solution, at most as many
+    outer iterations as the plain refined solve (fewer extended-residual
+    evaluations)."""
+    n = 257
+    s = GMGSolver(shape=(n, n), num_levels=5, cycle="v", nu=2, pre_sweeps=2,
+                  tol=1e-9, maxit=40, use_pallas=False)
+    b = assemble_rhs(s.levels[0], 10.0, test=1, dtype=jnp.float32)
+    plain = s.solve_refined(b)
+    accel = s.solve_refined(b, inner_cg=3)
+    assert accel.converged
+    assert accel.iterations <= plain.iterations
+    d = np.abs(np.asarray(accel.u) - np.asarray(plain.u)).max()
+    assert d / np.abs(np.asarray(plain.u)).max() < 1e-6

@@ -136,14 +136,31 @@ def test_wide_window_compact_matches_oracle():
         A.spmm(X.astype(np.float64)), rtol=2e-5, atol=2e-5)
 
 
-def test_wide_window_select_matches_oracle():
-    """Wide spans touching MANY distinct tiles (> 8) fall through to the
-    select-loop kernel (t_win up to 32)."""
+def test_moderate_distinct_tiles_take_compact():
+    """Spans touching 9..26 distinct tiles ride the compact-window kernel
+    (cap raised 8 -> 26 in r5 so the 1M-row hierarchy's Pt stays off the
+    gather path)."""
     n = 4096
     # 12 scattered offsets within a 1600-column span -> ~12 distinct tiles
     A = banded(n, [0, -1, 1] + [137 * (i + 2) for i in range(9)])
     pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
-    assert pA is not None and not pA.compact and 8 < pA.t_win <= 32, \
+    assert pA is not None and pA.compact and pA.u_max <= 26, \
+        (pA.t_win, pA.u_max)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(pA.spmv(jnp.asarray(x), interpret=True))
+    want = A.spmv(x.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_wide_window_select_matches_oracle():
+    """Spans touching MORE distinct tiles than the compact cap (> 26) fall
+    through to the select-loop kernel (t_win up to 32)."""
+    n = 4096
+    # 28 scattered offsets within a ~31-tile span -> ~29 distinct tiles
+    A = banded(n, [0, -1, 1] + [137 * (i + 2) for i in range(27)])
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024)
+    assert pA is not None and not pA.compact and 26 < pA.t_win <= 32, \
         (pA.t_win, pA.u_max)
     rng = np.random.default_rng(12)
     x = rng.standard_normal(n).astype(np.float32)
