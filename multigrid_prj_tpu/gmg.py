@@ -97,10 +97,15 @@ def _logical(lev: GridLevel):
 
 
 def restrict_level(r: jax.Array, lev: GridLevel, nxt: GridLevel,
-                   exact_restrict=restrict_full_weighting) -> jax.Array:
-    """Restriction honoring each level's layout (padded halving or exact)."""
+                   exact_restrict=restrict_full_weighting,
+                   padded_restrict=restrict_fw_padded) -> jax.Array:
+    """Restriction honoring each level's layout (padded halving or exact).
+
+    ``padded_restrict``: the padded-layout implementation (``GMGSolver``
+    passes the one-pass Pallas filter on TPU backends —
+    ``ops.pallas_stencil.restrict_fw_padded_fast``)."""
     if lev.padded_shape is not None:
-        rc = restrict_fw_padded(r, lev.shape)
+        rc = padded_restrict(r, lev.shape)
         if nxt.padded_shape is None:
             rc = crop_to(rc, nxt.shape)
         return rc
@@ -173,6 +178,8 @@ def v_cycle(
     coarse_apply=None,
     residual=poisson_residual,
     downleg=None,
+    padded_restrict=restrict_fw_padded,
+    prolong_add=None,
     _level: int = 0,
 ) -> jax.Array:
     """Standard correction-scheme V-cycle (``gamma = 2`` gives the W-cycle).
@@ -204,16 +211,24 @@ def v_cycle(
         u = smoother(u, b, alpha, h, nu1, logical_shape=logical)
         r = residual(u, b, alpha, h, logical)
         rc = restrict_level(r, lev, levels[_level + 1],
-                            exact_restrict=restrict)
+                            exact_restrict=restrict,
+                            padded_restrict=padded_restrict)
     ec = jnp.zeros_like(rc)
     for _ in range(gamma):
         ec = v_cycle(
             ec, rc, levels, alpha, smoother,
             nu1=nu1, nu2=nu2, coarse_sweeps=coarse_sweeps,
             restrict=restrict, gamma=gamma, coarse_apply=coarse_apply,
-            residual=residual, downleg=downleg, _level=_level + 1,
+            residual=residual, downleg=downleg,
+            padded_restrict=padded_restrict, prolong_add=prolong_add,
+            _level=_level + 1,
         )
-    u = u + prolong_level(ec, levels[_level + 1], lev)
+    nxt = levels[_level + 1]
+    if (prolong_add is not None and lev.padded_shape is not None
+            and nxt.padded_shape is not None):
+        u = prolong_add(ec, u)
+    else:
+        u = u + prolong_level(ec, nxt, lev)
     u = smoother(u, b, alpha, h, nu2, logical_shape=logical)
     return u
 
@@ -344,10 +359,18 @@ class GMGSolver:
                           if self.levels[0].padded_shape is not None else None)
         self._residual_fn = poisson_residual
         self._downleg_fn = None
+        self._restrict_padded_fn = restrict_fw_padded
+        self._prolong_add_fn = None
         if self._use_pallas:
             from multigrid_prj_tpu.ops import pallas_stencil as _ps
 
             self._residual_fn = _ps.poisson_residual
+            # one-pass Pallas grid transfer: the XLA restrict/prolong
+            # lowerings measured 10.2 / 6.5 ms at 8448^2 (the majority of
+            # the 27 ms at-scale V-cycle); the kernels run them at the
+            # streamed bound with exact (bit-equal) results
+            self._restrict_padded_fn = _ps.restrict_fw_padded_fast
+            self._prolong_add_fn = _ps.prolong_add_padded_fast
             # fuse_downleg: run smooth+residual+restrict as ONE kernel pass
             # (ops.pallas_stencil.rbgs_residual_restrict).  Off by default:
             # the separate Pallas smoother + residual + XLA restrict already
@@ -433,13 +456,17 @@ class GMGSolver:
                            nu1=self.pre_sweeps, nu2=self.nu,
                            coarse_apply=self._coarse_apply_of(cinv),
                            residual=self._residual_fn,
-                           downleg=self._downleg_fn)
+                           downleg=self._downleg_fn,
+                           padded_restrict=self._restrict_padded_fn,
+                           prolong_add=self._prolong_add_fn)
         if self.cycle == "w":
             return w_cycle(u, b, self.levels, self.alpha, self.smoother,
                            nu1=self.pre_sweeps, nu2=self.nu,
                            coarse_apply=self._coarse_apply_of(cinv),
                            residual=self._residual_fn,
-                           downleg=self._downleg_fn)
+                           downleg=self._downleg_fn,
+                           padded_restrict=self._restrict_padded_fn,
+                           prolong_add=self._prolong_add_fn)
         raise ValueError(f"unknown cycle {self.cycle!r}")
 
     def step(self, u, b, cinv=None):

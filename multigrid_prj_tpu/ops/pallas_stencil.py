@@ -529,6 +529,193 @@ def _rbgs_resfilter_kernel(u_ref, un_ref, us_ref, b_ref, bn_ref, bs_ref,
     f_out_ref[:] = f2[_HALO:_HALO + r, :]
 
 
+def _fw_filter2d_kernel(*refs, r, mc):
+    """Tensor-product full-weighting FILTER ([1/4,1/2,1/4] per axis) in one
+    pass over the column-tiled extended block; the caller decimates and
+    fixes the injected edge rows/cols (see :func:`restrict_fw_padded_fast`).
+    Halo garbage (clamped edge blocks) has 1-cell reach — masked by the
+    caller's edge fix-up."""
+    x = _assemble_ext(*(rf[:] for rf in refs[:9]))
+    out_ref = refs[9]
+    ext_c = mc + 2 * _LANE
+    north = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+    south = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+    f1 = 0.25 * north + 0.5 * x + 0.25 * south
+    west = pltpu.roll(f1, 1, axis=1)
+    east = pltpu.roll(f1, ext_c - 1, axis=1)
+    f2 = 0.25 * west + 0.5 * f1 + 0.25 * east
+    out_ref[:] = f2[_HALO:_HALO + r, _LANE:_LANE + mc]
+
+
+def _fw_axis_thin(a, axis, nc):
+    """restrict_fw_padded's per-axis rule on a THIN slice (edge fix-ups)."""
+    from multigrid_prj_tpu.ops.transfer import _shift_axis
+
+    filtered = (0.25 * _shift_axis(a, axis, -1) + 0.5 * a
+                + 0.25 * _shift_axis(a, axis, +1))
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(None, None, 2)
+    samp_f, samp_i = filtered[tuple(sl)], a[tuple(sl)]
+    k = jax.lax.broadcasted_iota(jnp.int32, samp_f.shape, axis)
+    out = jnp.where((k == 0) | (k == nc - 1), samp_i, samp_f)
+    return jnp.where(k >= nc, 0.0, out)
+
+
+def restrict_fw_padded_fast(r_arr: jax.Array, logical_shape) -> jax.Array:
+    """``transfer.restrict_fw_padded`` with the O(n^2) filter as ONE Pallas
+    pass (the XLA shift/pad/stride lowering measured 10.2 ms at 8448^2 on
+    v5e where the streamed bound is ~1.5 ms — the largest single term of
+    the at-scale V-cycle after the kernel fixes).  Exact: the filtered
+    interior comes from the kernel; the injected edge rows/cols (and the
+    row-injected-then-col-filtered corners) are recomputed from thin raw
+    slices with the reference per-axis rule."""
+    from multigrid_prj_tpu.ops.transfer import restrict_fw_padded
+
+    n, m = r_arr.shape
+    if not _is_supported(r_arr.shape, r_arr.dtype):
+        return restrict_fw_padded(r_arr, logical_shape)
+    pick = _pick_blocks_fused_2d(n, m, n_temps=3, ring=16, n_in=1)
+    if pick is None:
+        return restrict_fw_padded(r_arr, logical_shape)
+    r_blk, mc = pick
+    specs9 = _edge_specs_2d(n, m, r_blk, mc)
+    F = pl.pallas_call(
+        _kp(_fw_filter2d_kernel, r=r_blk, mc=mc),
+        out_shape=jax.ShapeDtypeStruct((n, m), r_arr.dtype),
+        grid=(n // r_blk, m // mc),
+        in_specs=specs9,
+        out_specs=pl.BlockSpec((r_blk, mc), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * m, bytes_accessed=2 * 4 * n * m,
+            transcendentals=0,
+        ),
+    )(*([r_arr] * 9))
+    nl, ml = int(logical_shape[0]), int(logical_shape[1])
+    nc_r, nc_c = (nl + 1) // 2, (ml + 1) // 2
+    out = F[::2][:, ::2]
+    kr = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+    kc = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    # dead zone zeros
+    out = jnp.where((kr >= nc_r) | (kc >= nc_c), 0.0, out)
+    # edge rows: axis-0 injection of the raw slice, then the axis-1 rule
+    top = _fw_axis_thin(r_arr[0:1, :], 1, nc_c)
+    bot = _fw_axis_thin(r_arr[2 * nc_r - 2:2 * nc_r - 1, :], 1, nc_c)
+    out = jnp.where(kr == 0, top, out)
+    out = jnp.where(kr == nc_r - 1, bot, out)
+    # edge cols: axis-0 rule on the raw thin col, axis-1 injection
+    lft = _fw_axis_thin(r_arr[:, 0:1], 0, nc_r)
+    rgt = _fw_axis_thin(r_arr[:, 2 * nc_c - 2:2 * nc_c - 1], 0, nc_r)
+    inner_row = (kr > 0) & (kr < nc_r - 1)
+    out = jnp.where((kc == 0) & inner_row,
+                    jnp.broadcast_to(lft, out.shape), out)
+    out = jnp.where((kc == nc_c - 1) & inner_row,
+                    jnp.broadcast_to(rgt, out.shape), out)
+    # corners: raw injection both axes
+    for kr0, rr0 in ((0, 0), (nc_r - 1, 2 * nc_r - 2)):
+        for kc0, cc0 in ((0, 0), (nc_c - 1, 2 * nc_c - 2)):
+            out = jnp.where((kr == kr0) & (kc == kc0),
+                            r_arr[rr0, cc0], out)
+    return jnp.where((kr >= nc_r) | (kc >= nc_c), 0.0, out)
+
+
+def _prolong_add2d_kernel(e_ref, ee_ref, es_ref, ese_ref, u_ref, out_ref, *,
+                          r, mc, pc_r, pc_c):
+    """``u + prolong(e)`` for one fine block in one pass: linear (bilinear)
+    upsampling of the coarse block with +1-row/+1-col lookahead from the
+    south/east halo blocks; halo blocks beyond the coarse array are zeroed
+    (matching ``transfer.prolong_padded``'s zero shift-in)."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    rc, mcc = r // 2, mc // 2
+    top = jnp.concatenate([e_ref[:], ee_ref[:]], axis=1)    # (rc, mcc+128)
+    bot = jnp.concatenate([es_ref[:], ese_ref[:]], axis=1)  # (8, mcc+128)
+    ex = jnp.concatenate([top, bot], axis=0)                # (rc+8, mcc+128)
+    w = mcc + _LANE
+    grow = i * rc + jax.lax.broadcasted_iota(jnp.int32, (rc + 8, w), 0)
+    gcol = j * mcc + jax.lax.broadcasted_iota(jnp.int32, (rc + 8, w), 1)
+    ex = jnp.where((grow < pc_r) & (gcol < pc_c), ex, 0.0)
+    # rows: interleave [e_a, (e_a + e_{a+1})/2]
+    cur = ex[:rc]
+    nxt = ex[1:rc + 1]
+    mid = 0.5 * (cur + nxt)
+    inter_r = jnp.stack([cur, mid], axis=1).reshape(2 * rc, w)
+    # cols: lane upsample out[:, 2q] = s[q], out[:, 2q+1] = avg(s[q], s[q+1])
+    # via per-output-tile same-shape take_along_axis + tile select — the
+    # only dynamic lane gather Mosaic lowers (the stack+reshape interleave
+    # fails layout inference: "unsupported shape cast")
+    rows2 = 2 * rc
+    # zero-pad one extra lane tile so the last tile's 2-tile src slice
+    # stays in bounds (the padded lanes are never addressed: q+1 <= mcc)
+    inter_r = jnp.concatenate(
+        [inter_r, jnp.zeros((rows2, _LANE), inter_r.dtype)], axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANE), 1)
+    tiles = []
+    for t in range(mc // _LANE):
+        base = (t * _LANE) >> 1        # first src col this tile reads (64t)
+        tile0 = (base >> 7) * _LANE    # static src tile start
+        src2 = inter_r[:, tile0:tile0 + 2 * _LANE]  # spans q and q+1 range
+
+        def at(q_local):
+            hi = jax.lax.shift_right_logical(q_local, jnp.int32(7))
+            lo = jax.lax.bitwise_and(q_local, jnp.int32(127))
+            a = jnp.take_along_axis(src2[:, :_LANE], lo, axis=1)
+            bb = jnp.take_along_axis(src2[:, _LANE:], lo, axis=1)
+            return jnp.where(hi == 0, a, bb)
+
+        q = ((t * _LANE + col) >> 1) - tile0
+        even = at(q)
+        odd = 0.5 * (even + at(q + 1))
+        tiles.append(jnp.where((col & 1) == 0, even, odd))
+    inter_c = jnp.concatenate(tiles, axis=1)
+    out_ref[:] = u_ref[:] + inter_c
+
+
+def prolong_add_padded_fast(e: jax.Array, u: jax.Array) -> jax.Array:
+    """``u + transfer.prolong_padded(e)`` in one Pallas pass (the XLA
+    stack/reshape interleave measured 6.5 ms at 8448^2 on v5e vs a ~1.3 ms
+    streamed bound).  Falls back to the XLA composition when the shapes do
+    not admit the tiling."""
+    from multigrid_prj_tpu.ops.transfer import prolong_padded
+
+    n, m = u.shape
+    if (not _is_supported(u.shape, u.dtype)
+            or e.shape[0] * 2 != n or e.shape[1] * 2 != m):
+        return u + prolong_padded(e)
+    pick = _pick_blocks_fused_2d(n, m, n_temps=4, ring=16, n_in=1)
+    if pick is None or pick[0] < 16 or pick[1] < 256:
+        return u + prolong_padded(e)
+    r_blk, mc = pick
+    rc, mcc = r_blk // 2, mc // 2
+    pc_r, pc_c = e.shape
+    rcb, ccb = rc // 8, mcc // _LANE
+    nbr, nbc = pc_r // 8 - 1, pc_c // _LANE - 1
+
+    def bs(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    e_specs = [
+        bs((rc, mcc), lambda i, j: (i, j)),
+        bs((rc, _LANE), lambda i, j: (i, jnp.minimum((j + 1) * ccb, nbc))),
+        bs((8, mcc), lambda i, j: (jnp.minimum((i + 1) * rcb, nbr), j)),
+        bs((8, _LANE), lambda i, j: (jnp.minimum((i + 1) * rcb, nbr),
+                                     jnp.minimum((j + 1) * ccb, nbc))),
+    ]
+    center = pl.BlockSpec((r_blk, mc), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kp(_prolong_add2d_kernel, r=r_blk, mc=mc, pc_r=pc_r, pc_c=pc_c),
+        out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
+        grid=(n // r_blk, m // mc),
+        in_specs=e_specs + [center],
+        out_specs=center,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * m,
+            bytes_accessed=4 * (n * m * 2 + pc_r * pc_c),
+            transcendentals=0,
+        ),
+    )(e, e, e, e, u)
+
+
 def fw_decimate_padded(F, logical_shape):
     """Sample the filtered fine array at even indices and zero the coarse
     edge/dead entries (valid when the fine residual is 0 on the logical

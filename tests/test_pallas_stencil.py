@@ -293,3 +293,35 @@ def test_rbgs_2d_tiled_dst_pingpong():
                                 128, dst=jnp.zeros_like(u), c=c, nl=n, ml=m,
                                 sweeps=2)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(into))
+
+
+@pytest.mark.parametrize("shape,logical", [
+    ((64, 512), (61, 509)), ((128, 256), (127, 255)), ((64, 512), (64, 512)),
+])
+def test_restrict_fw_padded_fast_exact(shape, logical):
+    """One-pass Pallas full-weighting restriction must equal the XLA
+    transfer op EXACTLY (filtered interior from the kernel, injected
+    edges/corners recomputed from thin raw slices)."""
+    from multigrid_prj_tpu.ops.transfer import restrict_fw_padded
+
+    rng = np.random.default_rng(21)
+    r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = ps.restrict_fw_padded_fast(r, logical)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(restrict_fw_padded(r, logical)))
+
+
+@pytest.mark.parametrize("shape", [(64, 512), (128, 512)])
+def test_prolong_add_padded_fast_exact(shape):
+    """One-pass Pallas prolong-and-add must equal u + prolong_padded(e)."""
+    from multigrid_prj_tpu.ops.transfer import prolong_padded
+
+    rng = np.random.default_rng(22)
+    n, m = shape
+    e = jnp.asarray(rng.standard_normal((n // 2, m // 2)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = ps.prolong_add_padded_fast(e, u)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(u + prolong_padded(e)))
