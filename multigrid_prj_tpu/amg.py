@@ -421,10 +421,19 @@ class AMGLevel:
     A_fast: Optional[object] = None
     P_fast: Optional[object] = None
     Pt_fast: Optional[object] = None
+    # dense operator for SMALL levels: the gather SpMV at a few thousand
+    # rows is launch/relayout-bound, not bandwidth-bound (measured: one
+    # smooth+residual at the 2057-row level cost 3.7 ms — as much as the
+    # 382k-row level, AMG_ABLATION_r05_1024); a dense matvec is one fused
+    # op at negligible FLOPs
+    A_dense: Optional[jax.Array] = None
 
 
 def apply_A(lvl: "AMGLevel", x: jax.Array) -> jax.Array:
-    """``A x`` on a level, via the Pallas kernel when prepared."""
+    """``A x`` on a level, via the Pallas kernel / dense matvec when
+    prepared."""
+    if lvl.A_dense is not None:
+        return lvl.A_dense @ x
     return lvl.A_fast.spmv(x) if lvl.A_fast is not None else lvl.A.spmv(x)
 
 
@@ -694,11 +703,18 @@ class AMGSolver:
                 lvl_rhs = to_device(rhs_l, dtype)
                 if Pt_host is not None:
                     rhs_l = Pt_host.spmv(rhs_l)
+            A_dense = None
+            if (0 < M.shape[0] <= 4096 and i < len(self.host_matrices) - 1
+                    and self._use_pallas):
+                # small intermediate levels (the bottom level already runs
+                # the dense inverse); TPU backends only — the dense matvec
+                # is an MXU op, while CPU's gather SpMV is fine
+                A_dense = to_device(M.to_dense(), dtype)
             self.levels.append(
                 AMGLevel(A=ell, diag=diag, color=colors, n_colors=n_colors,
                          P=P, Pt=Pt, rhs=lvl_rhs, lmax=lmax,
                          color_blocks=blocks, A_fast=_fast(M),
-                         P_fast=P_fast, Pt_fast=Pt_fast)
+                         P_fast=P_fast, Pt_fast=Pt_fast, A_dense=A_dense)
             )
 
         # dense coarsest-operator INVERSE for the direct bottom solve: one
@@ -821,9 +837,19 @@ class AMGSolver:
     def _perm_out(self, x):
         if self._perm is None:
             return x
+        if isinstance(x, jax.Array):
+            # un-permute ON DEVICE: fetching x to the host first costs a
+            # full-vector tunnel round trip (~1.9 s of the measured 2.2 s
+            # 1M-row solve wall, AMG_ABLATION_r05_1024) and returns a host
+            # array the caller then has to re-upload
+            if not hasattr(self, "_inv_perm_dev"):
+                inv = np.empty_like(self._perm)
+                inv[self._perm] = np.arange(self._perm.size)
+                self._inv_perm_dev = to_device(inv, jnp.int32)
+            return jnp.take(x, self._inv_perm_dev)
         out = np.empty_like(np.asarray(x))
         out[self._perm] = np.asarray(x)
-        return jnp.asarray(out) if isinstance(x, jax.Array) else out
+        return out
 
     def solve(self, b, x0=None, tol: float = 1e-10, maxit: int = 100):
         """V-cycle iteration to relative residual ``tol``.

@@ -619,38 +619,33 @@ def restrict_fw_padded_fast(r_arr: jax.Array, logical_shape) -> jax.Array:
     return jnp.where((kr >= nc_r) | (kc >= nc_c), 0.0, out)
 
 
-def _prolong_add2d_kernel(e_ref, ee_ref, es_ref, ese_ref, u_ref, out_ref, *,
-                          r, mc, pc_r, pc_c):
-    """``u + prolong(e)`` for one fine block in one pass: linear (bilinear)
-    upsampling of the coarse block with +1-row/+1-col lookahead from the
-    south/east halo blocks; halo blocks beyond the coarse array are zeroed
-    (matching ``transfer.prolong_padded``'s zero shift-in)."""
-    i, j = pl.program_id(0), pl.program_id(1)
-    rc, mcc = r // 2, mc // 2
-    top = jnp.concatenate([e_ref[:], ee_ref[:]], axis=1)    # (rc, mcc+128)
-    bot = jnp.concatenate([es_ref[:], ese_ref[:]], axis=1)  # (8, mcc+128)
-    ex = jnp.concatenate([top, bot], axis=0)                # (rc+8, mcc+128)
-    w = mcc + _LANE
-    grow = i * rc + jax.lax.broadcasted_iota(jnp.int32, (rc + 8, w), 0)
-    gcol = j * mcc + jax.lax.broadcasted_iota(jnp.int32, (rc + 8, w), 1)
-    ex = jnp.where((grow < pc_r) & (gcol < pc_c), ex, 0.0)
-    # rows: interleave [e_a, (e_a + e_{a+1})/2]
+def _prolong_add_kernel(e_ref, es_ref, u_ref, out_ref, *, r, m, pc_r, pc_c):
+    """``u + prolong(e)`` for one full-width fine row block in one pass:
+    bilinear upsampling of the coarse block with a +1-row lookahead from
+    the 8-row south halo; halo rows beyond the coarse array (and the
+    beyond-array column lookahead) are zeroed, matching
+    ``transfer.prolong_padded``'s zero shift-in."""
+    i = pl.program_id(0)
+    rc = r // 2
+    ex = jnp.concatenate([e_ref[:], es_ref[:]], axis=0)  # (rc + 8, pc_c)
+    grow = i * rc + jax.lax.broadcasted_iota(jnp.int32, (rc + 8, pc_c), 0)
+    ex = jnp.where(grow < pc_r, ex, 0.0)
+    # rows: interleave [e_a, (e_a + e_{a+1})/2] (sublane stack+reshape)
     cur = ex[:rc]
     nxt = ex[1:rc + 1]
     mid = 0.5 * (cur + nxt)
-    inter_r = jnp.stack([cur, mid], axis=1).reshape(2 * rc, w)
+    inter_r = jnp.stack([cur, mid], axis=1).reshape(r, pc_c)
     # cols: lane upsample out[:, 2q] = s[q], out[:, 2q+1] = avg(s[q], s[q+1])
     # via per-output-tile same-shape take_along_axis + tile select — the
-    # only dynamic lane gather Mosaic lowers (the stack+reshape interleave
-    # fails layout inference: "unsupported shape cast")
-    rows2 = 2 * rc
-    # zero-pad one extra lane tile so the last tile's 2-tile src slice
-    # stays in bounds (the padded lanes are never addressed: q+1 <= mcc)
+    # only dynamic lane gather Mosaic lowers (the stack+reshape lane
+    # interleave fails layout inference: "unsupported shape cast").
+    # Zero-pad one lane tile so the q+1 lookahead of the last coarse column
+    # reads 0 (prolong_padded's zero shift-in) and slices stay in bounds.
     inter_r = jnp.concatenate(
-        [inter_r, jnp.zeros((rows2, _LANE), inter_r.dtype)], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANE), 1)
+        [inter_r, jnp.zeros((r, _LANE), inter_r.dtype)], axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, _LANE), 1)
     tiles = []
-    for t in range(mc // _LANE):
+    for t in range(m // _LANE):
         base = (t * _LANE) >> 1        # first src col this tile reads (64t)
         tile0 = (base >> 7) * _LANE    # static src tile start
         src2 = inter_r[:, tile0:tile0 + 2 * _LANE]  # spans q and q+1 range
@@ -673,47 +668,53 @@ def _prolong_add2d_kernel(e_ref, ee_ref, es_ref, ese_ref, u_ref, out_ref, *,
 def prolong_add_padded_fast(e: jax.Array, u: jax.Array) -> jax.Array:
     """``u + transfer.prolong_padded(e)`` in one Pallas pass (the XLA
     stack/reshape interleave measured 6.5 ms at 8448^2 on v5e vs a ~1.3 ms
-    streamed bound).  Falls back to the XLA composition when the shapes do
-    not admit the tiling."""
+    streamed bound).  Row-tiled with full-width blocks: the coarse operand
+    is quarter-size, so even the 16640-wide level fits VMEM with no column
+    tiling (and no redundant halo compute).  Falls back to the XLA
+    composition when the shapes do not admit the scheme."""
     from multigrid_prj_tpu.ops.transfer import prolong_padded
 
     n, m = u.shape
     if (not _is_supported(u.shape, u.dtype)
             or e.shape[0] * 2 != n or e.shape[1] * 2 != m):
         return u + prolong_padded(e)
-    pick = _pick_blocks_fused_2d(n, m, n_temps=4, ring=16, n_in=1)
-    if pick is None or pick[0] < 16 or pick[1] < 256:
-        return u + prolong_padded(e)
-    r_blk, mc = pick
-    rc, mcc = r_blk // 2, mc // 2
     pc_r, pc_c = e.shape
-    rcb, ccb = rc // 8, mcc // _LANE
-    nbr, nbc = pc_r // 8 - 1, pc_c // _LANE - 1
+    # VMEM model: double-buffered u in/out (r, m) + e (r/2 + 8, m/2) blocks
+    # plus ~3 live (r, m)-ish temporaries (inter_r, gather temps, inter_c)
+    r_blk = None
+    for r_c in (128, 64, 32, 16):
+        if n % r_c or (r_c // 2) % 8:
+            continue
+        words = (2 * (2 * r_c * m + (r_c // 2 + 8) * pc_c)
+                 + 3 * r_c * (m + _LANE))
+        if words * 4 <= _VMEM_BUDGET:
+            r_blk = r_c
+            break
+    if r_blk is None or pc_c % _LANE:
+        return u + prolong_padded(e)
+    rc = r_blk // 2
+    rcb = rc // 8
+    nbr = pc_r // 8 - 1
 
     def bs(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
-    e_specs = [
-        bs((rc, mcc), lambda i, j: (i, j)),
-        bs((rc, _LANE), lambda i, j: (i, jnp.minimum((j + 1) * ccb, nbc))),
-        bs((8, mcc), lambda i, j: (jnp.minimum((i + 1) * rcb, nbr), j)),
-        bs((8, _LANE), lambda i, j: (jnp.minimum((i + 1) * rcb, nbr),
-                                     jnp.minimum((j + 1) * ccb, nbc))),
-    ]
-    center = pl.BlockSpec((r_blk, mc), lambda i, j: (i, j),
-                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kp(_prolong_add2d_kernel, r=r_blk, mc=mc, pc_r=pc_r, pc_c=pc_c),
+        _kp(_prolong_add_kernel, r=r_blk, m=m, pc_r=pc_r, pc_c=pc_c),
         out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
-        grid=(n // r_blk, m // mc),
-        in_specs=e_specs + [center],
-        out_specs=center,
+        grid=(n // r_blk,),
+        in_specs=[
+            bs((rc, pc_c), lambda i: (i, 0)),
+            bs((8, pc_c), lambda i: (jnp.minimum((i + 1) * rcb, nbr), 0)),
+            bs((r_blk, m), lambda i: (i, 0)),
+        ],
+        out_specs=bs((r_blk, m), lambda i: (i, 0)),
         cost_estimate=pl.CostEstimate(
             flops=6 * n * m,
             bytes_accessed=4 * (n * m * 2 + pc_r * pc_c),
             transcendentals=0,
         ),
-    )(e, e, e, e, u)
+    )(e, e, u)
 
 
 def fw_decimate_padded(F, logical_shape):

@@ -119,3 +119,32 @@ def test_ell_spmm_matches_host():
     X = rng.standard_normal((50, 4))
     got = np.asarray(E.spmm(jnp.asarray(X)))
     np.testing.assert_allclose(got, A.spmm(X), rtol=1e-10, atol=1e-10)
+
+
+def test_native_spgemm_matches_python_hierarchy():
+    """VERDICT r5 pin: the native Gustavson SpGEMM path must produce the
+    same AMG hierarchy (level sizes, operator complexity, structure) as the
+    pure-Python expansion path — values to the last ulp, structure exact."""
+    import multigrid_prj_tpu.native as native
+    from multigrid_prj_tpu.amg import AMGSolver
+    from multigrid_prj_tpu.models.poisson import poisson_fd_csr
+
+    if not native.available():
+        pytest.skip("native library not built")
+    A = poisson_fd_csr(64)
+    builds = {}
+    sav = native.available
+    try:
+        for tag, avail in (("native", sav), ("python", lambda: False)):
+            native.available = avail
+            builds[tag] = AMGSolver(A, num_levels=4, use_pallas=False,
+                                    reorder="none")
+    finally:
+        native.available = sav
+    a, b = builds["native"], builds["python"]
+    assert a.level_sizes == b.level_sizes
+    assert abs(a.operator_complexity - b.operator_complexity) < 1e-12
+    for Ma, Mb in zip(a.host_matrices, b.host_matrices):
+        np.testing.assert_array_equal(Ma.indptr, Mb.indptr)
+        np.testing.assert_array_equal(Ma.indices, Mb.indices)
+        np.testing.assert_allclose(Ma.data, Mb.data, rtol=1e-13, atol=0)
