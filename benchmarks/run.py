@@ -29,7 +29,14 @@ import numpy as np
 def _fence(x):
     import jax
 
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0])).ravel()[:1]
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    if getattr(leaf, "ndim", 0):
+        # index ON DEVICE first: device_get of the full leaf ships the
+        # whole array through the tunnel (268 MB ~ 9.5 s at 8193^2 —
+        # measured masquerading as solve wall time, r5)
+        leaf = leaf.ravel()[0]
+    return float(np.asarray(jax.device_get(leaf)))
+
 
 
 def _timeit(fn, *args, reps=3):

@@ -28,7 +28,16 @@ import numpy as np
 
 
 def _fence(r):
-    return float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0])).ravel()[0])
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    if getattr(leaf, "ndim", 0):
+        # index ON DEVICE first: device_get of the full leaf ships the
+        # whole array through the tunnel (268 MB ~ 9.5 s at 8193^2 —
+        # measured masquerading as solve wall time, r5)
+        leaf = leaf.ravel()[0]
+    return float(np.asarray(jax.device_get(leaf)))
+
 
 
 _NULL_FLOOR = [None]
