@@ -121,12 +121,15 @@ def main(argv=None) -> None:
     _rec("vcycle_ms", timed_chain(
         vchain, (levels, cdense, jnp.zeros_like(bd), bd), 5, 45) * 1e3)
 
-    # full solve (wall, includes per-iteration history/norm + dispatch)
-    sol = solver.solve(b, tol=1e-5, maxit=50)
+    # full solve (wall, includes per-iteration history/norm + dispatch);
+    # b lives on device — a numpy b re-uploads 4 MB through the tunnel
+    # every call (~0.7 s of the previous 0.95 s wall)
+    b_dev = jnp.asarray(b)
+    sol = solver.solve(b_dev, tol=1e-5, maxit=50)
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        sol = solver.solve(b, tol=1e-5, maxit=50)
+        sol = solver.solve(b_dev, tol=1e-5, maxit=50)
         _fence(sol.x)
         best = min(best, time.perf_counter() - t0)
     out["solve_f32_wall_ms"] = best * 1e3

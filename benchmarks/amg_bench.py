@@ -91,9 +91,12 @@ def bench_fd(n_grid: int, tol: float = 1e-5, tol_ff: float = 1e-8) -> dict:
         except Exception as e:  # one bad phase must not lose the record
             rec[tag + "_error"] = str(e)[:200]
 
-    phase("solve_f32", lambda: solver.solve(b, tol=tol, maxit=200),
+    import jax.numpy as jnp
+
+    b_dev = jnp.asarray(b)  # upload once; numpy b re-uploads per call
+    phase("solve_f32", lambda: solver.solve(b_dev, tol=tol, maxit=200),
           {"iters": lambda o: o.iterations, "rel": lambda o: o.rel_residual})
-    phase("pcg", lambda: solver.solve_pcg(b, tol=tol),
+    phase("pcg", lambda: solver.solve_pcg(b_dev, tol=tol),
           {"iters": lambda o: o.iterations})
     phase("solve_ff32", lambda: solver.solve_refined(b, tol=tol_ff,
                                                      maxit=300),

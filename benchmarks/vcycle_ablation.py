@@ -173,9 +173,12 @@ def main(argv=None) -> None:
         _flush()
 
     num_levels = 6 if n <= 2049 else (8 if n <= 8193 else 9)
+    # 1e-7 at scale: the ff32 refined floor sits at ~1.5e-8 for 8193^2
+    # (kappa ~ 2.7e7), so 1e-8 just burns maxit there
+    tol = 1e-8 if n <= 2049 else 1e-7
     solver = GMGSolver(shape=(n, n), length=10.0, alpha=10.0,
                        num_levels=num_levels,
-                       cycle="v", nu=2, pre_sweeps=2, tol=1e-8, maxit=60,
+                       cycle="v", nu=2, pre_sweeps=2, tol=tol, maxit=60,
                        pad_align=256)
     b = assemble_rhs(solver.levels[0], 10.0, test=1, dtype=jnp.float32)
     lev0 = solver.levels[0]
@@ -197,17 +200,34 @@ def main(argv=None) -> None:
                       "refined_iters": out["refined_iters"]}), flush=True)
     _flush()
 
-    # plain f32 V-cycle
+    # plain f32 V-cycle — the solver's REAL configured path (direct coarse
+    # inverse + Pallas residual/transfer hooks), not the bare v_cycle
+    # default (which lacks them and overstates the cycle ~2x at scale)
     def vchain(k):
         @jax.jit
-        def f(u, bb):
+        def f(u, bb, cinv):
+            def body(_, uu):
+                return solver._cycle(uu, bb, cinv)
+            return jax.lax.fori_loop(0, k, body, u)
+        return f
+
+    _rec("vcycle_ms", _tc(vchain,
+                          (jnp.zeros_like(bp), bp, solver._coarse_inv),
+                          10, 210) * 1e3)
+
+    # the unhooked default path, for attribution of the hooks' gain
+    def vchain_raw(k):
+        @jax.jit
+        def f(u, bb, cinv):
             def body(_, uu):
                 return v_cycle(uu, bb, solver.levels, alpha, solver.smoother,
                                nu1=solver.pre_sweeps, nu2=solver.nu)
             return jax.lax.fori_loop(0, k, body, u)
         return f
 
-    _rec("vcycle_ms", _tc(vchain, (jnp.zeros_like(bp), bp), 10, 210) * 1e3)
+    _rec("vcycle_raw_xla_transfers_ms",
+         _tc(vchain_raw, (jnp.zeros_like(bp), bp, solver._coarse_inv),
+             10, 210) * 1e3)
 
     # ff32 extended residual (one evaluation): XLA chain vs Pallas kernel
     c = alpha / (lev0.h * lev0.h)
@@ -321,19 +341,23 @@ def main(argv=None) -> None:
         _rec(f"residual_L0_{tag}_ms",
              _tc(rchain, (jnp.zeros_like(bp), bp), 20, 620) * 1e3)
 
-    # restrict at level 0
+    # restrict at level 0: XLA transfer op vs the one-pass Pallas filter
     from multigrid_prj_tpu.gmg import restrict_level
 
-    def rschain(k):
-        @jax.jit
-        def f(r):
-            def body(_, rr):
-                rc = restrict_level(rr, solver.levels[0], solver.levels[1])
-                return rr + 1e-30 * pad_to(rc, rr.shape)
-            return jax.lax.fori_loop(0, k, body, r)
-        return f
+    for tag, pr_fn in (("xla", None), ("pallas", ps.restrict_fw_padded_fast)):
+        def rschain(k, pr_fn=pr_fn):
+            @jax.jit
+            def f(r):
+                def body(_, rr):
+                    kw = {} if pr_fn is None else {"padded_restrict": pr_fn}
+                    rc = restrict_level(rr, solver.levels[0],
+                                        solver.levels[1], **kw)
+                    return rr + 1e-30 * pad_to(rc, rr.shape)
+                return jax.lax.fori_loop(0, k, body, r)
+            return f
 
-    _rec("restrict_L0_ms", _tc(rschain, jnp.ones_like(bp), 20, 620) * 1e3)
+        _rec(f"restrict_L0_{tag}_ms",
+             _tc(rschain, jnp.ones_like(bp), 20, 620) * 1e3)
 
     # prolong-and-add at level 0 (the up-leg transfer)
     from multigrid_prj_tpu.gmg import prolong_level
@@ -341,17 +365,22 @@ def main(argv=None) -> None:
     lev1 = solver.levels[1]
     ec0 = jnp.ones(lev1.physical, jnp.float32)
 
-    def pchain(k):
-        @jax.jit
-        def f(u, ec):
-            def body(_, uu):
-                return uu + 1e-30 * prolong_level(ec + 1e-30 * uu[0, 0],
-                                                  lev1, solver.levels[0])
-            return jax.lax.fori_loop(0, k, body, u)
-        return f
+    for tag, pa_fn in (("xla", None),
+                       ("pallas", ps.prolong_add_padded_fast)):
+        def pchain(k, pa_fn=pa_fn):
+            @jax.jit
+            def f(u, ec):
+                def body(_, uu):
+                    e2 = ec + 1e-30 * uu[0, 0]
+                    if pa_fn is None:
+                        return uu + 1e-30 * prolong_level(
+                            e2, lev1, solver.levels[0])
+                    return uu * (1.0 - 1e-30) + 1e-30 * pa_fn(e2, uu)
+                return jax.lax.fori_loop(0, k, body, u)
+            return f
 
-    _rec("prolong_L0_ms",
-         _tc(pchain, (jnp.ones_like(bp), ec0), 20, 620) * 1e3)
+        _rec(f"prolong_add_L0_{tag}_ms",
+             _tc(pchain, (jnp.ones_like(bp), ec0), 20, 620) * 1e3)
 
     # derived on-chip summary: the wall-clock refined solve is dominated by
     # tunnel round trips (~40 ms dispatch + host fetches); the differential

@@ -832,7 +832,15 @@ class AMGSolver:
     # -- permutation translation (internal RCM frame <-> caller frame) -------
 
     def _perm_in(self, v):
-        return v if self._perm is None else np.asarray(v)[self._perm]
+        if self._perm is None:
+            return v
+        if isinstance(v, jax.Array):
+            # device arrays permute on device — a host round trip here
+            # would re-upload the vector through the tunnel every solve
+            if not hasattr(self, "_perm_dev"):
+                self._perm_dev = to_device(self._perm, jnp.int32)
+            return jnp.take(v, self._perm_dev)
+        return np.asarray(v)[self._perm]
 
     def _perm_out(self, x):
         if self._perm is None:

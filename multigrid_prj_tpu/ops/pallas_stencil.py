@@ -143,13 +143,22 @@ def _pick_blocks_fused_2d(n: int, m: int, n_temps: int = 5, ring: int = 16,
 
 
 def _fused_1d_or_2d(n: int, m: int, n_temps: int = 5, ring: int = 16,
-                    budget: int | None = None, n_in: int = 2):
+                    budget: int | None = None, n_in: int = 2,
+                    n_temps_2d: int | None = None):
     """Pick the better of full-width (1D) and column-tiled (2D) fused
     blocking by core fraction.  Returns ``(r, None)`` for 1D, ``(r, mc)``
-    for 2D, or None."""
+    for 2D, or None.
+
+    ``n_temps_2d``: the 2D kernels' 9-block extended assembly keeps more
+    live temporaries than the 1D concat (measured: the apply chain at
+    8192^2 allocated 18.2 MB against the 1D-calibrated 2-temp model) —
+    callers with a 1D-calibrated ``n_temps`` pass a larger 2D value."""
     r1 = _pick_block_rows_fused(n, m, n_temps=n_temps, ring=ring,
                                 budget=budget)
-    cand2 = _pick_blocks_fused_2d(n, m, n_temps=n_temps, ring=max(ring, 1),
+    cand2 = _pick_blocks_fused_2d(n, m,
+                                  n_temps=(n_temps if n_temps_2d is None
+                                           else n_temps_2d),
+                                  ring=max(ring, 1),
                                   budget=budget, n_in=n_in)
     eff1 = (r1 / (r1 + ring)) if (r1 is not None and ring) else \
         (1.0 if r1 is not None else 0.0)
@@ -571,9 +580,9 @@ def restrict_fw_padded_fast(r_arr: jax.Array, logical_shape) -> jax.Array:
     slices with the reference per-axis rule."""
     from multigrid_prj_tpu.ops.transfer import restrict_fw_padded
 
-    n, m = r_arr.shape
-    if not _is_supported(r_arr.shape, r_arr.dtype):
+    if not _is_supported(r_arr.shape, r_arr.dtype):  # 3D / unaligned: XLA
         return restrict_fw_padded(r_arr, logical_shape)
+    n, m = r_arr.shape
     pick = _pick_blocks_fused_2d(n, m, n_temps=3, ring=16, n_in=1)
     if pick is None:
         return restrict_fw_padded(r_arr, logical_shape)
@@ -674,9 +683,10 @@ def prolong_add_padded_fast(e: jax.Array, u: jax.Array) -> jax.Array:
     composition when the shapes do not admit the scheme."""
     from multigrid_prj_tpu.ops.transfer import prolong_padded
 
+    if not _is_supported(u.shape, u.dtype):  # 3D / unaligned: XLA
+        return u + prolong_padded(e)
     n, m = u.shape
-    if (not _is_supported(u.shape, u.dtype)
-            or e.shape[0] * 2 != n or e.shape[1] * 2 != m):
+    if e.shape[0] * 2 != n or e.shape[1] * 2 != m:
         return u + prolong_padded(e)
     pc_r, pc_c = e.shape
     # VMEM model: double-buffered u in/out (r, m) + e (r/2 + 8, m/2) blocks
@@ -900,7 +910,8 @@ def poisson_apply_chain(u: jax.Array, alpha: float, h: float, applies: int,
     # chain-kernel budget: ~2 live extended temps; 15 MB admits the
     # measured-fastest r=48 at m=8192 (r=64 measured 0.5 MB over the
     # 16 MB scoped limit and is correctly rejected)
-    pick = _fused_1d_or_2d(n, m, n_temps=2, budget=15 * 1024 * 1024, n_in=1)
+    pick = _fused_1d_or_2d(n, m, n_temps=2, budget=15 * 1024 * 1024, n_in=1,
+                           n_temps_2d=5)
     if pick is None:  # no fused tiling: chain single-pass applies instead
         x = u
         for _ in range(applies):
