@@ -62,6 +62,11 @@ def bench_fd(n_grid: int, tol: float = 1e-5, tol_ff: float = 1e-8) -> dict:
     rng = np.random.default_rng(0)
     b = rng.standard_normal(A.shape[0]).astype(np.float32)
 
+    # host-heap hygiene: setup is host NumPy/C++; a fragmented heap from
+    # earlier phases adds noise to the measurement (observed once at 4x)
+    import gc
+
+    gc.collect()
     t0 = time.perf_counter()
     # min_coarse=2000: stop coarsening once the level fits a precomputed
     # dense inverse — a deep tail of tiny ELL levels only adds kernel count
