@@ -916,7 +916,11 @@ class AMGSolver:
                 pf = PallasELL.build(self.host_matrices[0], dtype=jnp.float32,
                                      interpret=self._pallas_interpret,
                                      pair=True, nlt_step=16)
-                if pf is not None and not pf.windowed and not pf.compact:
+                if pf is not None and not pf.windowed:
+                    # VMEM-x modes only (plain select-loop or compact-
+                    # window — the r5 compact pair kernel covers the
+                    # 1M-row fine level whose gather ff-residual was the
+                    # refined solve's hot spot)
                     # probe-compile once: build()'s pair-mode VMEM budget is
                     # conservative, but a Mosaic VMEM overflow here must
                     # degrade to the gather path, not fail the solve

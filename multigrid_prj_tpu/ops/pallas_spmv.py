@@ -215,6 +215,62 @@ def _spmv_windowed_kernel(base2_ref, q_ref, q2_ref, cols_ref, vals_ref,
         o_ref[jj, :] = jnp.sum(vals_ref[:, sl] * g, axis=0)
 
 
+def _ffres_compact_kernel(tiles2_ref, cols_ref, vh_ref, vl_ref, xh_ref,
+                          xl_ref, bh_ref, bl_ref, o_ref, *, k, r, u_max,
+                          nlt_step):
+    """Compact-window variant of :func:`_ffres_kernel`: the x_hi / x_lo
+    gathers run through the per-lane-tile distinct-x-tile list (tiles2)
+    exactly as :func:`_spmv_compact_kernel` does — extends the pair-mode
+    extended-precision residual to the wide-band matrices the compact mode
+    exists for (the 1M-row AMG fine level)."""
+    i = pl.program_id(0)
+    j2 = pl.program_id(1)
+    nlt = r // _LANE
+    for jj in range(nlt_step):
+        sl = slice(jj * _LANE, (jj + 1) * _LANE)
+        idx = cols_ref[:, sl].astype(jnp.int32)
+        hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
+        lo = jax.lax.bitwise_and(idx, jnp.int32(127))
+
+        def gat(x_ref):
+            g = jnp.zeros((k, _LANE), x_ref.dtype)
+            for u in range(u_max):
+                t_idx = tiles2_ref[(i * nlt + j2 * nlt_step + jj)
+                                   * u_max + u]
+                row = x_ref[pl.ds(t_idx, 1), :]
+                src = jnp.broadcast_to(row, (k, _LANE))
+                g = jnp.where(hi == u,
+                              jnp.take_along_axis(src, lo, axis=1), g)
+            return g
+
+        gh = gat(xh_ref)
+        gl = gat(xl_ref)
+        vh = vh_ref[:, sl]
+        vl = vl_ref[:, sl]
+        # two_prod(vh, gh) via Veltkamp splitting (4097 = 2^12 + 1)
+        p = vh * gh
+        c1 = 4097.0 * vh
+        sp_ah = c1 - (c1 - vh)
+        sp_al = vh - sp_ah
+        c2 = 4097.0 * gh
+        sp_bh = c2 - (c2 - gh)
+        sp_bl = gh - sp_bh
+        e = ((sp_ah * sp_bh - p) + sp_ah * sp_bl + sp_al * sp_bh) \
+            + sp_al * sp_bl
+        e = e + vh * gl + vl * gh
+        acc_h = bh_ref[jj:jj + 1, :]
+        acc_l = bl_ref[jj:jj + 1, :]
+        for kk in range(k):  # cascaded exact accumulation over ELL slots
+            pk = p[kk:kk + 1, :]
+            s = acc_h - pk
+            bb = s - acc_h
+            err = (acc_h - (s - bb)) + (-pk - bb)
+            err = err + (acc_l - e[kk:kk + 1, :])
+            acc_h = s + err
+            acc_l = err - (acc_h - s)
+        o_ref[jj, :] = (acc_h + acc_l)[0, :]
+
+
 def _spmm_kernel(base2_ref, cols_ref, vals_ref, x_ref, o_ref, *, k, r, t_win,
                  tw_slice, nlt_step):
     """Multi-vector variant of :func:`_spmv_kernel`: ``x_ref`` holds ``nvec``
@@ -362,10 +418,14 @@ class PallasELL:
             return None
         if pair:
             # residual_ff keeps BOTH x_hi and x_lo VMEM-resident and streams
-            # a third double-buffered valsT_lo block (10 B/slot): halve the
-            # per-vector x budget so pair-mode eligibility guarantees the
-            # pair kernel itself fits the 16 MB VMEM limit, not just spmv2d.
-            max_x_vmem = max_x_vmem // 2
+            # a third double-buffered valsT_lo block (10 B/slot): shrink the
+            # per-vector x budget (5/8) so pair-mode eligibility keeps the
+            # pair kernel itself under the 16 MB VMEM limit, not just
+            # spmv2d.  (A strict halving rejected the 1M-row fine level at
+            # 4.2 MB/vector; 2 x 5 MB + the slot blocks fits, and the
+            # caller's probe-compile degrades gracefully if Mosaic
+            # disagrees.)
+            max_x_vmem = (max_x_vmem * 5) // 8
         bytes_per_slot = 10 if pair else 6
         s_tiles = -(-m // _LANE)
         lengths = csr.row_lengths
@@ -641,8 +701,8 @@ class PallasELL:
         ``ops/sparse_extended.ell_residual_ff``."""
         if self.valsT_lo is None:
             raise ValueError("residual_ff needs build(pair=True)")
-        if self.windowed or self.compact:
-            raise ValueError("residual_ff supports the VMEM-x mode only")
+        if self.windowed:
+            raise ValueError("residual_ff supports the VMEM-x modes only")
         interpret = self.interpret if interpret is None else interpret
         k_pad, n_pad = self.colsT_rel.shape
         r = self.block_rows
@@ -658,6 +718,42 @@ class PallasELL:
         ns = _pick_nlt_step(nlt, self.nlt_step)
         nj2 = nlt // ns
         rs = ns * _LANE
+        if self.compact:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb, nj2),
+                in_specs=[
+                    pl.BlockSpec((k_pad, rs),
+                                 lambda i, j2, t2: (0, i * nj2 + j2)),
+                    pl.BlockSpec((k_pad, rs),
+                                 lambda i, j2, t2: (0, i * nj2 + j2)),
+                    pl.BlockSpec((k_pad, rs),
+                                 lambda i, j2, t2: (0, i * nj2 + j2)),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((ns, _LANE),
+                                 lambda i, j2, t2: (i * nj2 + j2, 0)),
+                    pl.BlockSpec((ns, _LANE),
+                                 lambda i, j2, t2: (i * nj2 + j2, 0)),
+                ],
+                out_specs=pl.BlockSpec((ns, _LANE),
+                                       lambda i, j2, t2: (i * nj2 + j2, 0)),
+            )
+            out = pl.pallas_call(
+                _kp(_ffres_compact_kernel, k=k_pad, r=r, u_max=self.u_max,
+                    nlt_step=ns),
+                out_shape=jax.ShapeDtypeStruct((nb * nlt, _LANE),
+                                               self.valsT.dtype),
+                grid_spec=grid_spec,
+                cost_estimate=pl.CostEstimate(
+                    flops=30 * k_pad * n_pad,
+                    bytes_accessed=10 * k_pad * n_pad + 24 * n_pad,
+                    transcendentals=0,
+                ),
+                interpret=interpret,
+            )(self.tiles2, self.colsT_rel, self.valsT, self.valsT_lo,
+              self.pad_x(x_hi), self.pad_x(x_lo), pad_b(b_hi), pad_b(b_lo))
+            return out.reshape(-1)[: self.shape[0]]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb, nj2),

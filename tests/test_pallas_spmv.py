@@ -277,3 +277,42 @@ def test_residual_ff_matches_gather_chain():
                        + np.asarray(x_lo, np.float64))
     err = np.abs(got - r64).max()
     assert err <= 1e-5 * np.abs(r64).max() + 1e-9, err
+
+
+def test_pair_residual_compact_mode():
+    """r5: the extended-precision pair residual runs on compact-window
+    matrices too (the 1M-row AMG fine level — its gather ff-residual was
+    the refined solve's hot spot, 2.18 -> 0.82 s measured)."""
+    rng = np.random.default_rng(31)
+    n = 2048
+    offs = [0, -1, 1] + [137 * (i + 2) for i in range(9)]
+    rows, cols, vals = [], [], []
+    for o in offs:
+        i = np.arange(max(0, -o), min(n, n - o))
+        rows.append(i)
+        cols.append(i + o)
+        vals.append(rng.standard_normal(i.size))
+    A = HostCSR.from_coo(np.concatenate(rows), np.concatenate(cols),
+                         np.concatenate(vals), (n, n))
+    pA = PallasELL.build(A, dtype=jnp.float32, block_rows=1024, pair=True)
+    assert pA is not None and pA.compact
+    from multigrid_prj_tpu.ops.sparse_extended import (
+        ELLPair,
+        ell_residual_ff,
+    )
+
+    x64 = rng.standard_normal(n)
+    b64 = rng.standard_normal(n)
+
+    def split(v):
+        hi = v.astype(np.float32)
+        return (jnp.asarray(hi),
+                jnp.asarray((v - hi.astype(np.float64)).astype(np.float32)))
+
+    xh, xl = split(x64)
+    bh, bl = split(b64)
+    got = np.asarray(pA.residual_ff(bh, bl, xh, xl, interpret=True))
+    want = np.asarray(ell_residual_ff(ELLPair.from_host_csr(A),
+                                      bh, bl, xh, xl))
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() <= 2e-6 * scale
