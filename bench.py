@@ -408,18 +408,21 @@ def measure_amg_fd(n_grid: int = 1024):
     from benchmarks.amg_bench import bench_fd
 
     rec = bench_fd(n_grid)
-    return {
-        "amg_fd_rows": rec["rows"],
-        "amg_fd_nnz": rec["nnz"],
-        "amg_fd_setup_s": rec["setup_s"],
-        "amg_fd_solve_f32_ms": rec["solve_f32_ms"],
-        "amg_fd_solve_f32_iters": rec["solve_f32_iters"],
-        "amg_fd_solve_ff32_ms": rec["solve_ff32_ms"],
-        "amg_fd_solve_ff32_iters": rec["solve_ff32_iters"],
-        "amg_fd_pcg_ms": rec["pcg_ms"],
-        "amg_fd_smoother": rec["smoother"],
-        "amg_fd_pallas_levels": rec["pallas_spmv_levels"],
-    }
+    # .get: one failed sub-phase (e.g. a SIGALRM cap mid-solve) must not
+    # discard the phases that DID measure
+    out = {"amg_fd_" + k: rec.get(src) for k, src in (
+        ("rows", "rows"), ("nnz", "nnz"), ("setup_s", "setup_s"),
+        ("solve_f32_ms", "solve_f32_ms"),
+        ("solve_f32_iters", "solve_f32_iters"),
+        ("solve_ff32_ms", "solve_ff32_ms"),
+        ("solve_ff32_iters", "solve_ff32_iters"),
+        ("pcg_ms", "pcg_ms"), ("smoother", "smoother"),
+        ("pallas_levels", "pallas_spmv_levels"),
+    ) if rec.get(src) is not None}
+    for k in ("solve_f32_error", "pcg_error", "solve_ff32_error"):
+        if k in rec:
+            out["amg_fd_" + k] = rec[k]
+    return out
 
 
 class _ExtraDeadline(Exception):
