@@ -366,11 +366,18 @@ class GMGSolver:
 
             self._residual_fn = _ps.poisson_residual
             # one-pass Pallas grid transfer: the XLA restrict/prolong
-            # lowerings measured 10.2 / 6.5 ms at 8448^2 (the majority of
-            # the 27 ms at-scale V-cycle); the kernels run them at the
-            # streamed bound with exact (bit-equal) results
-            self._restrict_padded_fn = _ps.restrict_fw_padded_fast
-            self._prolong_add_fn = _ps.prolong_add_padded_fast
+            # lowerings measured 10.2 / 6.5 ms at 8448^2 vs 5.0 / 2.3 for
+            # the kernels (the majority of the 33 ms at-scale V-cycle;
+            # VCYCLE_ABLATION_r05_8193).  Below ~4M fine points the ops are
+            # sub-0.1 ms either way and the Pallas restrict's XLA-side
+            # decimation overhead slightly LOSES (1280^2: 0.072 vs
+            # 0.043 ms, VCYCLE_ABLATION_r05_1025), so small solvers keep
+            # the XLA transfers.
+            import numpy as _np
+
+            if int(_np.prod(self.levels[0].physical)) >= (4 << 20):
+                self._restrict_padded_fn = _ps.restrict_fw_padded_fast
+                self._prolong_add_fn = _ps.prolong_add_padded_fast
             # fuse_downleg: run smooth+residual+restrict as ONE kernel pass
             # (ops.pallas_stencil.rbgs_residual_restrict).  Off by default:
             # the separate Pallas smoother + residual + XLA restrict already
